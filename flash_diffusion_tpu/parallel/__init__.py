@@ -1,0 +1,19 @@
+from .mesh import (
+    batch_sharding,
+    create_mesh,
+    initialize_distributed,
+    local_batch_slice,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "create_mesh",
+    "initialize_distributed",
+    "local_batch_slice",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,68 @@
+"""Device mesh + sharding utilities (the distributed runtime).
+
+TPU-native replacement for the reference's PTL/DDP/NCCL stack
+(reference: examples/train_flash_sdxl.py:423-428 SLURM env → DDP strategy;
+SURVEY.md §2.2): one ``jax.sharding.Mesh``, batch sharded over the ``data``
+axis, parameters replicated (extensible to an ``fsdp`` axis for sharded
+states). Gradient reduction is XLA's — jit over sharded inputs inserts the
+``psum`` over ICI/DCN; there is no NCCL analog to port. Multi-host bootstrap
+is ``jax.distributed.initialize`` (replacing the SLURM/PTL launcher).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator: Optional[str] = None) -> None:
+    """Multi-host bootstrap. No-op on a single process; honors standard
+    JAX env vars otherwise (replaces SLURM_NPROCS plumbing)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or coordinator:
+        jax.distributed.initialize(coordinator_address=coordinator)
+
+
+def create_mesh(
+    axes: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+    devices=None,
+) -> Mesh:
+    """Mesh over all (or given) devices. Default: 1-D data-parallel mesh,
+    matching the reference's DDP-only parallelism; pass
+    ``axes=("data", "model")`` + shape for tp/dp hybrids."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = [len(devices)] + [1] * (len(axes) - 1)
+    return Mesh(devices.reshape(shape), axis_names=tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis sharding for batches."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
+    """Device-put every array leaf with the batch sharding."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """This host's slice of a globally-indexed dataset (replaces
+    webdataset split_by_node, reference data/datasets/dataset.py:83)."""
+    per_host = global_batch_size // jax.process_count()
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)

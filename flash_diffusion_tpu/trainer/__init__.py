@@ -1,0 +1,18 @@
+from .checkpoint import adapt_state_dict, rename_keys, restore_state, save_state
+from .loggers import CheckpointCallback, MetricLogger, SampleLogger, make_grid
+from .trainer import TrainingPipeline, TrainState
+from .training_config import TrainingConfig
+
+__all__ = [
+    "CheckpointCallback",
+    "MetricLogger",
+    "SampleLogger",
+    "TrainState",
+    "TrainingConfig",
+    "TrainingPipeline",
+    "adapt_state_dict",
+    "make_grid",
+    "rename_keys",
+    "restore_state",
+    "save_state",
+]

@@ -9,6 +9,9 @@ import os
 
 # Must be set before jax import.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Run Pallas kernels through the generic interpreter on CPU (numerics only;
+# the mosaic TPU interpreter is far too slow for CI).
+os.environ.setdefault("FLASH_TPU_PALLAS_INTERPRET", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,3 +19,7 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# Exact fp32 matmuls on CPU (JAX's default rounds inputs to bf16, TPU-MXU
+# style); Pallas-kernel-vs-XLA comparisons still use loose tolerances since
+# kernels keep default (bf16-input) precision by design.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,168 @@
+"""Data pipeline: tar streaming, filters, mappers, collation (hermetic —
+fixtures build tiny tar shards on the fly; reference model:
+tests/test_dataset/*)."""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from flash_diffusion_tpu.data import (
+    CannyEdgeMapper,
+    CannyEdgeMapperConfig,
+    DataModuleConfig,
+    DataPipeline,
+    FilterOnCondition,
+    FilterOnConditionConfig,
+    ImageTransformMapper,
+    ImageTransformMapperConfig,
+    KeyFilter,
+    KeyFilterConfig,
+    KeyRenameMapper,
+    KeyRenameMapperConfig,
+    KeysFromJSONMapper,
+    KeysFromJSONMapperConfig,
+    MapperWrapper,
+    RescaleMapper,
+    RescaleMapperConfig,
+    SelectKeysMapper,
+    SelectKeysMapperConfig,
+    custom_collation_fn,
+)
+
+
+@pytest.fixture(scope="module")
+def shards(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shards")
+    paths = []
+    idx = 0
+    for s in range(2):
+        path = str(root / f"{s:06d}.tar")
+        with tarfile.open(path, "w") as tf:
+            for _ in range(6):
+                img = Image.fromarray(
+                    (np.random.default_rng(idx).random((32, 32, 3)) * 255).astype(np.uint8)
+                )
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{idx:06d}.png")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                meta = json.dumps(
+                    {"caption": f"sample {idx}", "aesthetic_score": 5 + (idx % 3)}
+                ).encode()
+                info = tarfile.TarInfo(f"{idx:06d}.json")
+                info.size = len(meta)
+                tf.addfile(info, io.BytesIO(meta))
+                idx += 1
+        paths.append(path)
+    return paths
+
+
+def standard_chain():
+    return [
+        KeyFilter(KeyFilterConfig(keys=["png", "json"])),
+        SelectKeysMapper(SelectKeysMapperConfig(keys=["png", "json"])),
+        MapperWrapper(
+            [
+                KeysFromJSONMapper(
+                    KeysFromJSONMapperConfig(
+                        key="json", keys_to_extract=["caption", "aesthetic_score"],
+                        remove_original=True, strict=False,
+                    )
+                ),
+                KeyRenameMapper(KeyRenameMapperConfig(key_map={"png": "image", "caption": "text"})),
+                ImageTransformMapper(
+                    ImageTransformMapperConfig(
+                        key="image",
+                        transforms=[
+                            {"name": "Resize", "size": [16, 16]},
+                            {"name": "CenterCrop", "size": [16, 16]},
+                            {"name": "ToTensor"},
+                        ],
+                    )
+                ),
+                RescaleMapper(RescaleMapperConfig(key="image")),
+            ]
+        ),
+        FilterOnCondition(
+            FilterOnConditionConfig(condition_key="aesthetic_score"), lambda v: v >= 6
+        ),
+    ]
+
+
+def test_pipeline_end_to_end(shards):
+    cfg = DataModuleConfig(
+        shards_path_or_urls=shards, per_worker_batch_size=2, num_workers=2,
+        shuffle_buffer_size=4,
+    )
+    pipe = DataPipeline(cfg, standard_chain())
+    batches = list(pipe.batches(epoch=0))
+    assert batches, "no batches produced"
+    b = batches[0]
+    assert b["image"].shape == (2, 16, 16, 3)
+    assert b["image"].min() >= -1.0 and b["image"].max() <= 1.0
+    assert isinstance(b["text"], list) and len(b["text"]) == 2
+    # aesthetic filter kept only scores >= 6 (2 of 3 per cycle)
+    total = sum(batch["image"].shape[0] for batch in batches)
+    assert total <= 8
+
+
+def test_host_shard_split(shards):
+    cfg = DataModuleConfig(shards_path_or_urls=shards, shuffle_shards=False)
+    p0 = DataPipeline(cfg, process_index=0, process_count=2)
+    p1 = DataPipeline(cfg, process_index=1, process_count=2)
+    assert p0._host_shards(0) == [shards[0]]
+    assert p1._host_shards(0) == [shards[1]]
+
+
+def test_corrupt_shard_warn_and_continue(tmp_path, shards):
+    bad = str(tmp_path / "bad.tar")
+    with open(bad, "wb") as f:
+        f.write(b"this is not a tar file")
+    cfg = DataModuleConfig(
+        shards_path_or_urls=[bad] + list(shards), per_worker_batch_size=2,
+        num_workers=1, shuffle_buffer_size=1, shuffle_shards=False,
+    )
+    pipe = DataPipeline(cfg, standard_chain())
+    batches = list(pipe.batches(epoch=0))
+    assert batches, "pipeline must survive a corrupt shard"
+
+
+def test_collation_common_keys_and_types():
+    samples = [
+        {"a": np.ones((2, 2)), "t": "x", "s": 1.0, "extra": 1},
+        {"a": np.zeros((2, 2)), "t": "y", "s": 2.0},
+    ]
+    b = custom_collation_fn(samples)
+    assert set(b.keys()) == {"a", "t", "s"}
+    assert b["a"].shape == (2, 2, 2)
+    assert b["t"] == ["x", "y"]
+    assert np.allclose(b["s"], [1.0, 2.0])
+
+
+def test_canny_mapper_shapes():
+    img = np.zeros((32, 32, 3), np.float32)
+    img[8:24, 8:24] = 1.0
+    out = CannyEdgeMapper(CannyEdgeMapperConfig())({"image": img})
+    edge = out["edge"]
+    assert edge.shape == (32, 32, 3)
+    assert edge.max() == 1.0 and edge.min() == 0.0
+    # edges concentrated near the square boundary
+    assert edge[:, :, 0][6:26, 6:26].sum() > edge[:, :, 0].sum() * 0.8
+
+
+def test_conditional_key_rename():
+    m = KeyRenameMapper(
+        KeyRenameMapperConfig(
+            key_map={"a": "b"}, condition_key="flag", else_key_map={"a": "c"}
+        ),
+        condition=lambda v: bool(v),
+    )
+    assert "b" in m({"a": 1, "flag": True})
+    assert "c" in m({"a": 1, "flag": False})

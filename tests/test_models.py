@@ -1,0 +1,196 @@
+"""Model-body shape contracts under every conditioning combination.
+
+Mirrors the reference's wrapper tests
+(reference: tests/test_unet/test_unets_wrappers.py:29-127,
+tests/test_transformers/test_transformers_wrappers.py) with hermetic tiny
+configs — no network, no pretrained weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_diffusion_tpu.models import (
+    AutoencoderKL,
+    AutoencoderKLConfig,
+    DiT,
+    DiTConfig,
+    MMDiT,
+    MMDiTConfig,
+    UNet2DCondition,
+    UNetConfig,
+    tiled_decode,
+)
+
+
+def tiny_unet_config(**kw):
+    base = dict(
+        in_channels=4,
+        out_channels=4,
+        block_out_channels=[32, 64],
+        down_block_types=["CrossAttnDownBlock2D", "DownBlock2D"],
+        layers_per_block=1,
+        transformer_layers_per_block=[1, 1],
+        num_heads=[2, 2],
+        cross_attention_dim=16,
+        norm_num_groups=8,
+    )
+    base.update(kw)
+    return UNetConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize(
+    "with_cross,with_vector,with_concat",
+    [(True, False, False), (True, True, False), (True, False, True), (False, False, False)],
+)
+def test_unet_conditioning_combos(rng, with_cross, with_vector, with_concat):
+    cfg = tiny_unet_config(
+        class_embed_type="projection" if with_vector else None,
+        projection_class_embeddings_input_dim=12 if with_vector else None,
+        in_channels=4 + (2 if with_concat else 0),
+        cross_attention_dim=16 if with_cross else None,
+    )
+    model = UNet2DCondition(cfg)
+    x = jnp.ones((2, 16, 16, 4))
+    t = jnp.array([10, 500])
+    cond = {"cond": {}}
+    if with_cross:
+        cond["cond"]["crossattn"] = jnp.ones((2, 8, 16))
+    if with_vector:
+        cond["cond"]["vector"] = jnp.ones((2, 12))
+    if with_concat:
+        cond["cond"]["concat"] = jnp.ones((2, 16, 16, 2))
+    params = model.init(rng, x, t, cond)
+    out = model.apply(params, x, t, cond)
+    assert out.shape == (2, 16, 16, 4)
+    assert np.all(np.isfinite(np.array(out)))
+
+
+def test_unet_mid_features_and_adapter_residuals(rng):
+    cfg = tiny_unet_config()
+    model = UNet2DCondition(cfg)
+    x = jnp.ones((1, 16, 16, 4))
+    t = jnp.array([3])
+    cond = {"cond": {"crossattn": jnp.ones((1, 8, 16))}}
+    res = [jnp.zeros((1, 16, 16, 32)), jnp.zeros((1, 8, 8, 64))]
+    params = model.init(rng, x, t, cond, adapter_residuals=res)
+    out, feats = model.apply(params, x, t, cond, adapter_residuals=res, return_features=True)
+    assert out.shape == (1, 16, 16, 4)
+    assert feats.shape == (1, 8, 8, 64)  # mid features at bottleneck resolution
+
+    # nonzero adapter residuals change the output
+    res2 = [jnp.ones((1, 16, 16, 32)), jnp.zeros((1, 8, 8, 64))]
+    out2 = model.apply(params, x, t, cond, adapter_residuals=res2)
+    assert not np.allclose(np.array(out), np.array(out2))
+
+
+def test_dit_shapes_and_vector_conditioning(rng):
+    cfg = DiTConfig(
+        hidden_size=32,
+        depth=2,
+        num_heads=2,
+        caption_channels=24,
+        num_vector_embeds=2,
+        vector_embed_dim=16,
+        sample_size=8,
+    )
+    model = DiT(cfg)
+    x = jnp.ones((2, 8, 8, 4))
+    t = jnp.array([10, 20])
+    cond = {
+        "cond": {
+            "crossattn": jnp.ones((2, 6, 24)),
+            "attention_mask": jnp.array([[1, 1, 1, 0, 0, 0], [1] * 6]),
+            "vector": jnp.array([[512.0, 1.0], [1024.0, 1.5]]),
+        }
+    }
+    params = model.init(rng, x, t, cond)
+    out = model.apply(params, x, t, cond)
+    assert out.shape == (2, 8, 8, 4)  # out_channels=8 cropped to in_channels
+    out_f, feats = model.apply(params, x, t, cond, return_features=True)
+    assert feats.shape == (2, 4, 4, 32)
+    assert np.allclose(np.array(out), np.array(out_f))
+
+
+def test_mmdit_shapes_and_post_mid_tap(rng):
+    cfg = MMDiTConfig(
+        in_channels=4,
+        out_channels=4,
+        hidden_size=32,
+        depth=2,
+        num_heads=2,
+        joint_attention_dim=24,
+        pooled_projection_dim=12,
+        sample_size=8,
+    )
+    model = MMDiT(cfg)
+    x = jnp.ones((2, 8, 8, 4))
+    t = jnp.array([100.0, 900.0])
+    cond = {
+        "cond": {
+            "crossattn": jnp.ones((2, 6, 24)),
+            "vector": jnp.ones((2, 12)),
+        }
+    }
+    params = model.init(rng, x, t, cond)
+    out = model.apply(params, x, t, cond)
+    assert out.shape == (2, 8, 8, 4)
+    out2, feats = model.apply(params, x, t, cond, return_features="post_mid")
+    assert feats.shape == (2, 8, 8, 4)  # sample-space features (16ch for SD3)
+    assert np.allclose(np.array(out), np.array(out2))
+
+
+def test_vae_roundtrip_and_tiled_decode(rng):
+    cfg = AutoencoderKLConfig(
+        block_out_channels=[8, 16],
+        layers_per_block=1,
+        norm_num_groups=4,
+        latent_channels=4,
+        tiling_size=(8, 8),
+        tiling_overlap=(2, 2),
+    )
+    vae = AutoencoderKL(cfg)
+    x = jnp.ones((1, 32, 32, 3))
+    params = vae.init(rng, x)
+    z = vae.apply(params, x, method=vae.encode)
+    assert z.shape == (1, 16, 16, 4)  # downsampling factor 2
+    dec = vae.apply(params, z, method=vae.decode_latents)
+    assert dec.shape == (1, 32, 32, 3)
+
+    # stochastic encode differs from mode
+    z2 = vae.apply(params, x, jax.random.PRNGKey(1), method=vae.encode)
+    assert not np.allclose(np.array(z), np.array(z2))
+
+    # tiled decode: right shape, finite, and exactly equal to the full
+    # decode when the tile covers the whole latent (no-tiling path). Seam
+    # agreement is inherently loose for a random-init VAE whose receptive
+    # field spans tiles, so no numeric seam claim here.
+    tiled = tiled_decode(vae, params, z)
+    assert tiled.shape == dec.shape
+    assert np.all(np.isfinite(np.array(tiled)))
+    whole = tiled_decode(vae, params, z, tile=(16, 16))
+    assert np.allclose(np.array(whole), np.array(dec), atol=1e-5)
+
+
+def test_sd3_vae_shift_scaling_inverts():
+    cfg = AutoencoderKLConfig(
+        block_out_channels=[8, 16],
+        layers_per_block=1,
+        norm_num_groups=4,
+        latent_channels=4,
+        scaling_factor=1.5305,
+        shift_factor=0.0609,
+    )
+    vae = AutoencoderKL(cfg)
+    x = jnp.linspace(-1, 1, 32 * 32 * 3).reshape(1, 32, 32, 3)
+    params = vae.init(jax.random.PRNGKey(0), x)
+    z = vae.apply(params, x, method=vae.encode)
+    mean, _ = vae.apply(params, x, method=vae.moments)
+    # encode applies (mean - shift) * scale; decode_latents inverts it
+    assert np.allclose(np.array(z), (np.array(mean) - 0.0609) * 1.5305, atol=1e-5)

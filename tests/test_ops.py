@@ -1,0 +1,80 @@
+"""Op-level numerics: flash attention (interpret mode) vs XLA reference, norms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_diffusion_tpu.ops import dot_product_attention, group_norm, layer_norm, modulate
+from flash_diffusion_tpu.ops.attention import _xla_attention
+
+# NOTE on tolerances: JAX's default matmul precision rounds inputs to
+# bfloat16 (on CPU and TPU MXU alike), so kernel-vs-einsum comparisons agree
+# to ~1e-2 absolute, not fp32 epsilon. Verified: the kernel is bit-identical
+# to jnp matmul at the same precision.
+
+
+def _rand_qkv(key, b=2, sq=192, skv=77, h=3, d=32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, sq, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, skv, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, skv, h, d), jnp.float32)
+    return q, k, v
+
+
+def test_flash_attention_matches_xla_ragged_kv():
+    """Pallas kernel (interpret mode on CPU) == XLA softmax attention,
+    including a KV length (77) that is not a block multiple."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0))
+    ref = _xla_attention(q, k, v, None, 1.0 / np.sqrt(32))
+    out = dot_product_attention(q, k, v, use_pallas=True)
+    assert np.allclose(np.array(out), np.array(ref), atol=2e-2)
+
+
+def test_flash_attention_self_attn_square():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), b=1, sq=256, skv=256, h=2, d=64)
+    ref = _xla_attention(q, k, v, None, 1.0 / 8.0)
+    out = dot_product_attention(q, k, v, use_pallas=True)
+    assert np.allclose(np.array(out), np.array(ref), atol=2e-2)
+
+
+def test_attention_bias_path():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), b=2, sq=16, skv=16, h=2, d=8)
+    bias = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16, 16), 3) <= jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16, 16), 2),
+        0.0,
+        -1e9,
+    )
+    out = dot_product_attention(q, k, v, bias=bias)
+    # row 0 attends only to kv 0 → equals v[:, 0]
+    assert np.allclose(np.array(out[:, 0]), np.array(v[:, 0]), atol=1e-5)
+
+
+def test_group_norm_matches_manual():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
+    scale = jnp.arange(8, dtype=jnp.float32) * 0.1 + 1.0
+    bias = jnp.ones((8,)) * 0.5
+    out = group_norm(x, 2, scale, bias)
+    xr = np.array(x).reshape(2, 16, 2, 4)
+    mean = xr.mean(axis=(1, 3), keepdims=True)
+    var = xr.var(axis=(1, 3), keepdims=True)
+    ref = ((xr - mean) / np.sqrt(var + 1e-5)).reshape(2, 4, 4, 8) * np.array(scale) + 0.5
+    assert np.allclose(np.array(out), ref, atol=1e-5)
+
+
+def test_group_norm_fused_silu():
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 4))
+    s, b = jnp.ones((4,)), jnp.zeros((4,))
+    out = group_norm(x, 1, s, b, act="silu")
+    plain = group_norm(x, 1, s, b)
+    assert np.allclose(np.array(out), np.array(plain) / (1 + np.exp(-np.array(plain))), atol=1e-5)
+
+
+def test_layer_norm_and_modulate():
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 6))
+    out = layer_norm(x)
+    assert np.allclose(np.array(out).mean(-1), 0.0, atol=1e-5)
+    assert np.allclose(np.array(out).var(-1), 1.0, atol=1e-4)
+    shift = jnp.ones((2, 6))
+    scale = jnp.full((2, 6), 0.5)
+    m = modulate(x, shift, scale)
+    assert np.allclose(np.array(m), np.array(x) * 1.5 + 1.0, atol=1e-6)
