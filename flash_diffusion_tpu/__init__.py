@@ -10,5 +10,6 @@ data parallelism, and Pallas attention kernels.
 __version__ = "0.1.0"
 
 from .config import BaseConfig
+from .pipelines import FlashPipeline
 
-__all__ = ["BaseConfig", "__version__"]
+__all__ = ["BaseConfig", "FlashPipeline", "__version__"]

@@ -126,11 +126,13 @@ def to_peft(
         arr = np.asarray(v)
         if leaf == "a":
             if arr.ndim == 2:
-                out[f"{prefix}.{module}.lora_A.weight"] = arr.T  # [r, in]
+                out[f"{prefix}.{module}.lora_A.weight"] = np.ascontiguousarray(arr.T)  # [r, in]
             else:  # [kh,kw,in,r] -> torch conv [r, in, kh, kw]
-                out[f"{prefix}.{module}.lora_A.weight"] = arr.transpose(3, 2, 0, 1)
+                out[f"{prefix}.{module}.lora_A.weight"] = np.ascontiguousarray(
+                    arr.transpose(3, 2, 0, 1)
+                )
         else:
-            out[f"{prefix}.{module}.lora_B.weight"] = arr.T  # [out, r]
+            out[f"{prefix}.{module}.lora_B.weight"] = np.ascontiguousarray(arr.T)  # [out, r]
     return out
 
 

@@ -1,0 +1,185 @@
+"""FlashPipeline — end-to-end text→image inference (the serving surface).
+
+The reference ships no in-repo inference layer: users load the published
+PEFT LoRA into a HF ``DiffusionPipeline`` with LCMScheduler
+(reference: README.md:316-405). This module is the equivalent user surface
+for the TPU framework: one object holding the denoiser + VAE + conditioners
++ LoRA, with a fully jitted ``generate`` (tokenize host-side → encode →
+K-step flash sampling → decode) and PEFT adapter loading, including
+training-free composition with style LoRAs (README.md:371-405) by summing
+scaled adapter deltas.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lora import merge_lora
+from .schedulers import REGISTRY, SchedulerConfig
+
+
+class FlashPipeline:
+    """Few-step text-to-image pipeline.
+
+    Args:
+      denoiser: flax module (UNet2DCondition / DiT / MMDiT).
+      params: denoiser params (base weights).
+      conditioner: ConditionerWrapper (+ its params).
+      vae: AutoencoderKL module + params.
+      tokenizer_fn: callable(list[str]) -> dict of id arrays (host-side).
+      scheduler: sampling scheduler name (default the published LCM setting).
+      latent_shape: (H, W, C) latent dims of the target resolution.
+    """
+
+    def __init__(
+        self,
+        denoiser,
+        params,
+        conditioner=None,
+        conditioner_params=None,
+        vae=None,
+        vae_params=None,
+        tokenizer_fn: Optional[Callable[[List[str]], Dict[str, np.ndarray]]] = None,
+        scheduler: str = "LCMScheduler",
+        scheduler_config: Optional[SchedulerConfig] = None,
+        latent_shape: Tuple[int, int, int] = (64, 64, 4),
+    ):
+        self.denoiser = denoiser
+        self.base_params = params
+        self.params = params
+        self.conditioner = conditioner
+        self.conditioner_params = conditioner_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.tokenizer_fn = tokenizer_fn
+        self.scheduler_name = scheduler
+        self.sched_mod = REGISTRY[scheduler]
+        self.sched_config = scheduler_config or SchedulerConfig()
+        self.latent_shape = tuple(latent_shape)
+        self._adapters: Dict[str, Tuple[Any, float]] = {}
+        self._generate_jit = {}
+
+    # -- LoRA management (README.md:318-405 parity) ---------------------
+    def load_lora(self, lora_tree, scaling: float = 1.0, name: str = "default"):
+        """Attach a LoRA adapter (e.g. from lora.load_peft_safetensors)."""
+        self._adapters[name] = (lora_tree, scaling)
+        self._refresh()
+
+    def set_adapter_scale(self, name: str, scaling: float):
+        tree, _ = self._adapters[name]
+        self._adapters[name] = (tree, scaling)
+        self._refresh()
+
+    def unload_lora(self, name: str = "default"):
+        self._adapters.pop(name, None)
+        self._refresh()
+
+    def _refresh(self):
+        params = self.base_params
+        for tree, scale in self._adapters.values():
+            params = merge_lora(params, tree, scale)
+        self.params = params
+        self._generate_jit.clear()
+
+    # -- generation -----------------------------------------------------
+    def _build_generate(self, num_steps: int, guidance_scale: float, batch: int):
+        sched = self.sched_mod.set_timesteps(self.sched_config, num_steps)
+        do_cfg = guidance_scale not in (0.0, 1.0)
+        stochastic = self.scheduler_name in (
+            "LCMScheduler",
+            "FlashFlowMatchEulerDiscreteScheduler",
+            "DDPMScheduler",
+            "EulerAncestralDiscreteScheduler",
+        )
+        has_carry = hasattr(self.sched_mod, "init_state")
+
+        def fn(params, vae_params, cond, uncond, z, rng):
+            sample = z * sched.init_noise_sigma
+            if do_cfg and cond is not None:
+                cond2 = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b]), cond, uncond
+                )
+            else:
+                cond2 = cond
+
+            def body(carry, i):
+                s, aux, key = carry
+                t = sched.timesteps[i]
+                inp = self.sched_mod.scale_model_input(sched, s, i)
+                if do_cfg:
+                    both = jnp.concatenate([inp, inp], axis=0)
+                    t2 = jnp.broadcast_to(t, (2 * batch,))
+                    pred2 = self.denoiser.apply(params, both, t2, cond2)
+                    pc, pu = jnp.split(pred2, 2, axis=0)
+                    pred = guidance_scale * pc + (1.0 - guidance_scale) * pu
+                else:
+                    pred = self.denoiser.apply(
+                        params, inp, jnp.broadcast_to(t, (batch,)), cond2
+                    )
+                key, sub = jax.random.split(key)
+                if has_carry:
+                    s, aux = self.sched_mod.step(sched, pred, i, s, aux)
+                else:
+                    s = self.sched_mod.step(sched, pred, i, s, key=sub if stochastic else None)
+                return (s, aux, key), None
+
+            init = (sample, jnp.zeros_like(sample), rng)
+            (sample, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
+            if self.vae is not None:
+                return self.vae.apply(vae_params, sample, method=self.vae.decode_latents)
+            return sample
+
+        return jax.jit(fn)
+
+    def generate(
+        self,
+        prompts: Sequence[str] | Dict[str, Any],
+        num_inference_steps: int = 4,
+        guidance_scale: float = 0.0,
+        negative_prompts: Optional[Sequence[str]] = None,
+        seed: int = 0,
+        latents: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Images in [-1, 1] NHWC. The published 4-NFE setting is the
+        default: 4 steps, guidance 0 (no CFG doubling)."""
+        if isinstance(prompts, dict):
+            batch_inputs = prompts
+            batch = next(iter(prompts.values())).shape[0]
+        else:
+            assert self.tokenizer_fn is not None, "tokenizer_fn required for str prompts"
+            batch_inputs = dict(self.tokenizer_fn(list(prompts)))
+            batch_inputs["text"] = list(prompts)
+            batch = len(prompts)
+
+        cond = uncond = None
+        if self.conditioner is not None:
+            cond = self.conditioner(
+                self.conditioner_params, batch_inputs, set_ucg_rate_zero=True
+            )
+            if guidance_scale not in (0.0, 1.0):
+                if negative_prompts is not None:
+                    neg = dict(self.tokenizer_fn(list(negative_prompts)))
+                    uncond = self.conditioner(
+                        self.conditioner_params, neg, set_ucg_rate_zero=True
+                    )
+                else:
+                    uncond = self.conditioner(
+                        self.conditioner_params, batch_inputs,
+                        ucg_keys=[c.input_key for c in self.conditioner.conditioners],
+                    )
+
+        rng = jax.random.PRNGKey(seed)
+        if latents is None:
+            rng, kz = jax.random.split(rng)
+            latents = jax.random.normal(kz, (batch, *self.latent_shape))
+
+        key = (num_inference_steps, guidance_scale, batch)
+        if key not in self._generate_jit:
+            self._generate_jit[key] = self._build_generate(*key)
+        return self._generate_jit[key](
+            self.params, self.vae_params, cond, uncond, latents, rng
+        )

@@ -7,8 +7,10 @@ bench.py, not tests.
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import. FORCE cpu: the surrounding environment may
+# export JAX_PLATFORMS=<tpu plugin>, and unit tests must not ride a TPU
+# tunnel (slow, single-tenant, and wedges under concurrent test runs).
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Run Pallas kernels through the generic interpreter on CPU (numerics only;
 # the mosaic TPU interpreter is far too slow for CI).
 os.environ.setdefault("FLASH_TPU_PALLAS_INTERPRET", "1")
@@ -18,6 +20,10 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize pre-imports jax and registers a TPU plugin
+# backend, so the env var alone is not enough — override the resolved
+# platform too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Exact fp32 matmuls on CPU (JAX's default rounds inputs to bf16, TPU-MXU
 # style); Pallas-kernel-vs-XLA comparisons still use loose tolerances since
