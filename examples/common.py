@@ -50,7 +50,7 @@ def setup_logging(output_dir: str):
 def init_params_shape_only(module, *args, rng=None, **kwargs):
     """Shape-init (abstract eval + zeros) for --random-init smoke runs."""
     rng = rng or jax.random.PRNGKey(0)
-    shapes = jax.eval_shape(lambda: module.init(rng, *args, **kwargs))()
+    shapes = jax.eval_shape(lambda: module.init(rng, *args, **kwargs))
     return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 

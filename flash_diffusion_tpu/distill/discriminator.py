@@ -63,6 +63,12 @@ class ConvDiscriminator(nn.Module):
 
                 x = group_norm(x, g, scale, bias)
             x = nn.silu(x)
+        if x.shape[1] < 4 or x.shape[2] < 4:
+            raise ValueError(
+                f"discriminator input too small: features reduced to "
+                f"{x.shape[1]}x{x.shape[2]} before the 4x4 VALID head — "
+                f"reduce num_stages or feed larger feature maps"
+            )
         x = nn.Conv(
             1, (4, 4), strides=(1, 1), padding="VALID", use_bias=False,
             dtype=self.dtype, name="conv_out",

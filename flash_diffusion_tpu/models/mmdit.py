@@ -75,8 +75,9 @@ class JointBlock(nn.Module):
             mod_x.reshape(b, 6, d)[:, i][:, None, :] for i in range(6)
         )
         if self.context_pre_only:
+            # AdaLayerNormContinuous convention: (scale, shift) chunk order
             mod_c = nn.Dense(2 * d, dtype=self.dtype, name="norm1_context_linear")(nn.silu(temb))
-            csh_msa, csc_msa = (mod_c.reshape(b, 2, d)[:, i][:, None, :] for i in range(2))
+            csc_msa, csh_msa = (mod_c.reshape(b, 2, d)[:, i][:, None, :] for i in range(2))
         else:
             mod_c = nn.Dense(6 * d, dtype=self.dtype, name="norm1_context_linear")(nn.silu(temb))
             csh_msa, csc_msa, cg_msa, csh_mlp, csc_mlp, cg_mlp = (

@@ -46,7 +46,7 @@ class TrainingConfig(BaseConfig):
     learning_rates: List[float] = field(default_factory=lambda: [1e-5, 1e-5])
     optimizers_kwargs: List[dict] = field(default_factory=lambda: [{}, {}])
     lr_schedulers_name: Optional[List[Optional[str]]] = None
-    lr_schedulers_kwargs: Optional[List[dict]] = None
+    lr_schedulers_kwargs: Optional[List[Optional[dict]]] = None
     # regex masks per optimizer over trainable leaves (optional; the
     # lora/disc split already partitions the two groups)
     trainable_params: Optional[List[List[str]]] = None

@@ -332,6 +332,127 @@ def import_t5_encoder(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
     return {"params": p}
 
 
+def import_pixart_dit(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
+    """diffusers PixArt Transformer2DModel state_dict → DiT params.
+
+    Subsumes the reference's Pixart adaLN weight surgery
+    (reference: examples/train_flash_pixart.py:88-172): the shared timestep
+    embedder and per-block scale_shift_table map onto our AdaLayerNormSingle
+    + PixartBlock; extra micro-conditioning embedders (resolution / aspect
+    ratio) land in the per-vector MLPs when present.
+    """
+    p: Dict[str, Any] = {
+        "pos_embed_proj": _conv(sd, "pos_embed.proj"),
+        "proj_out": _lin(sd, "proj_out"),
+        "scale_shift_table_out": sd["scale_shift_table"],
+        "caption_projection_1": _lin(sd, "caption_projection.linear_1"),
+        "caption_projection_2": _lin(sd, "caption_projection.linear_2"),
+    }
+    ada = {
+        "timestep_embedder": {
+            "linear_1": _lin(sd, "adaln_single.emb.timestep_embedder.linear_1"),
+            "linear_2": _lin(sd, "adaln_single.emb.timestep_embedder.linear_2"),
+        },
+        "linear": _lin(sd, "adaln_single.linear"),
+    }
+    extra = {
+        0: "adaln_single.emb.resolution_embedder",
+        1: "adaln_single.emb.aspect_ratio_embedder",
+    }
+    for i, key in extra.items():
+        if f"{key}.linear_1.weight" in sd:
+            ada[f"vector_embedder_{i}"] = {
+                "linear_1": _lin(sd, f"{key}.linear_1"),
+                "linear_2": _lin(sd, f"{key}.linear_2"),
+            }
+    p["adaln_single"] = ada
+
+    for i in range(config.depth):
+        k = f"transformer_blocks.{i}"
+        blk = {
+            "scale_shift_table": sd[f"{k}.scale_shift_table"],
+            "attn1": _attention(sd, f"{k}.attn1"),
+            "attn2": _attention(sd, f"{k}.attn2"),
+            "ff_in": _lin(sd, f"{k}.ff.net.0.proj"),
+            "ff_out": _lin(sd, f"{k}.ff.net.2"),
+        }
+        p[f"block_{i}"] = blk
+    return {"params": p}
+
+
+def import_sd3_mmdit(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
+    """diffusers SD3Transformer2DModel state_dict → MMDiT params."""
+    p: Dict[str, Any] = {
+        "pos_embed_proj": _conv(sd, "pos_embed.proj"),
+        "context_embedder": _lin(sd, "context_embedder"),
+        "timestep_embedder": {
+            "linear_1": _lin(sd, "time_text_embed.timestep_embedder.linear_1"),
+            "linear_2": _lin(sd, "time_text_embed.timestep_embedder.linear_2"),
+        },
+        "text_embedder": {
+            "linear_1": _lin(sd, "time_text_embed.text_embedder.linear_1"),
+            "linear_2": _lin(sd, "time_text_embed.text_embedder.linear_2"),
+        },
+        "norm_out_linear": _lin(sd, "norm_out.linear"),
+        "proj_out": _lin(sd, "proj_out"),
+    }
+    for i in range(config.depth):
+        k = f"transformer_blocks.{i}"
+        blk = {
+            "norm1_linear": _lin(sd, f"{k}.norm1.linear"),
+            "norm1_context_linear": _lin(sd, f"{k}.norm1_context.linear"),
+            "to_q": _lin(sd, f"{k}.attn.to_q"),
+            "to_k": _lin(sd, f"{k}.attn.to_k"),
+            "to_v": _lin(sd, f"{k}.attn.to_v"),
+            "to_out": _lin(sd, f"{k}.attn.to_out.0"),
+            "add_q_proj": _lin(sd, f"{k}.attn.add_q_proj"),
+            "add_k_proj": _lin(sd, f"{k}.attn.add_k_proj"),
+            "add_v_proj": _lin(sd, f"{k}.attn.add_v_proj"),
+            "ff_in": _lin(sd, f"{k}.ff.net.0.proj"),
+            "ff_out": _lin(sd, f"{k}.ff.net.2"),
+        }
+        if f"{k}.attn.to_add_out.weight" in sd:
+            blk["to_add_out"] = _lin(sd, f"{k}.attn.to_add_out")
+            blk["ff_context_in"] = _lin(sd, f"{k}.ff_context.net.0.proj")
+            blk["ff_context_out"] = _lin(sd, f"{k}.ff_context.net.2")
+        if f"{k}.attn.norm_q.weight" in sd:
+            blk["norm_q_scale"] = sd[f"{k}.attn.norm_q.weight"]
+            blk["norm_k_scale"] = sd[f"{k}.attn.norm_k.weight"]
+        p[f"block_{i}"] = blk
+    return {"params": p}
+
+
+def import_clip_vision(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
+    """transformers CLIPVisionModel(.WithProjection) → CLIPVisionModel params."""
+    pre = "vision_model." if any(k.startswith("vision_model.") for k in sd) else ""
+    p: Dict[str, Any] = {
+        "patch_embedding": _conv(sd, f"{pre}embeddings.patch_embedding"),
+        "class_embedding": sd[f"{pre}embeddings.class_embedding"],
+        "position_embedding": sd[f"{pre}embeddings.position_embedding.weight"],
+        "pre_ln_scale": sd[f"{pre}pre_layrnorm.weight"],
+        "pre_ln_bias": sd[f"{pre}pre_layrnorm.bias"],
+        "post_ln_scale": sd[f"{pre}post_layernorm.weight"],
+        "post_ln_bias": sd[f"{pre}post_layernorm.bias"],
+    }
+    for i in range(config.num_layers):
+        k = f"{pre}encoder.layers.{i}"
+        p[f"layer_{i}"] = {
+            "ln1_scale": sd[f"{k}.layer_norm1.weight"],
+            "ln1_bias": sd[f"{k}.layer_norm1.bias"],
+            "ln2_scale": sd[f"{k}.layer_norm2.weight"],
+            "ln2_bias": sd[f"{k}.layer_norm2.bias"],
+            "q_proj": _lin(sd, f"{k}.self_attn.q_proj"),
+            "k_proj": _lin(sd, f"{k}.self_attn.k_proj"),
+            "v_proj": _lin(sd, f"{k}.self_attn.v_proj"),
+            "out_proj": _lin(sd, f"{k}.self_attn.out_proj"),
+            "fc1": _lin(sd, f"{k}.mlp.fc1"),
+            "fc2": _lin(sd, f"{k}.mlp.fc2"),
+        }
+    if config.projection_dim is not None and "visual_projection.weight" in sd:
+        p["visual_projection"] = {"kernel": sd["visual_projection.weight"].T}
+    return {"params": p}
+
+
 def import_lpips_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """torch ``lpips`` package LPIPS(net='vgg') state_dict → LPIPS params.
 
