@@ -122,14 +122,21 @@ class Downsample2D(nn.Module):
         )(x)
 
 
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2× nearest upsampling as broadcast+reshape (cheaper lowering on TPU
+    than gather-based jax.image.resize)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
 class Upsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = nearest_upsample_2x(x)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 

@@ -115,13 +115,14 @@ class Decoder(nn.Module):
         if cfg.mid_block_attn:
             h = _AttnBlock(g, dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock2D(ch, None, g, dtype=self.dtype, name="mid_resnet_1")(h)
+        from .layers import nearest_upsample_2x
+
         for i, lvl in enumerate(reversed(range(len(cfg.block_out_channels)))):
             ch = cfg.block_out_channels[lvl]
             for j in range(cfg.layers_per_block + 1):
                 h = ResnetBlock2D(ch, None, g, dtype=self.dtype, name=f"up_{lvl}_resnet_{j}")(h)
             if i < len(cfg.block_out_channels) - 1:
-                b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                h = nearest_upsample_2x(h)
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"up_{lvl}_upsample")(h)
         h = GroupNorm(g, eps=1e-6, act="silu", name="conv_norm_out")(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)

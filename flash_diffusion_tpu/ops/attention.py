@@ -32,6 +32,8 @@ _NEG_INF = -1e30
 # Generic-interpreter escape hatch so the kernel's numerics are testable on
 # CPU (the mosaic TPU interpreter is orders of magnitude slower).
 _INTERPRET = os.environ.get("FLASH_TPU_PALLAS_INTERPRET", "0") == "1"
+# Global kill-switch for A/B benchmarking the kernel against XLA attention.
+_DISABLE_PALLAS = os.environ.get("FLASH_TPU_DISABLE_PALLAS", "0") == "1"
 
 
 def _flash_kernel(
@@ -187,7 +189,11 @@ def dot_product_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if use_pallas is None:
-        use_pallas = bias is None and jax.default_backend() not in ("cpu",)
+        use_pallas = (
+            not _DISABLE_PALLAS
+            and bias is None
+            and jax.default_backend() not in ("cpu",)
+        )
     if not use_pallas or bias is not None:
         return _xla_attention(q, k, v, bias, scale)
 
