@@ -94,7 +94,11 @@ def main():
                 (s, _), _ = jax.lax.scan(body, (z, key), jnp.arange(args.steps))
                 if args.no_decode:
                     return s
-                return vae.apply(vp, s, method=vae.decode_latents)
+                # decode per-image (lax.map) to cap VAE peak memory — lets
+                # the denoiser run at the larger batch
+                return jax.lax.map(
+                    lambda zi: vae.apply(vp, zi[None], method=vae.decode_latents)[0], s
+                )
 
             key = jax.random.PRNGKey(1)
             out = sample(up, vp, latents, key)

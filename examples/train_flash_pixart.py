@@ -28,6 +28,8 @@ from flash_diffusion_tpu.lora import init_lora, lora_scaling
 from flash_diffusion_tpu.models import AutoencoderKL, DiT, pixart_config, sd_vae_config
 from flash_diffusion_tpu.models.embedders import (
     ConditionerWrapper,
+    RawVectorEmbedder,
+    RawVectorEmbedderConfig,
     T5TextEmbedder,
     T5TextEmbedderConfig,
 )
@@ -49,7 +51,10 @@ def main():
     t5 = T5TextEmbedder(
         T5TextEmbedderConfig(input_key="text", max_length=cfg.get("T5_MAX_LENGTH", 120))
     )
-    conditioner = ConditionerWrapper([t5])
+    # resolution/aspect-ratio scalars pass through; the DiT embeds them in
+    # its AdaLayerNormSingle (num_vector_embeds=2)
+    res_ar = RawVectorEmbedder(RawVectorEmbedderConfig(input_key="resolution_ar"))
+    conditioner = ConditionerWrapper([t5, res_ar])
     disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=3))
 
     rng = jax.random.PRNGKey(cfg.get("SEED", 0))

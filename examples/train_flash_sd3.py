@@ -29,41 +29,13 @@ from flash_diffusion_tpu.models import AutoencoderKL, MMDiT, sd3_medium_config, 
 from flash_diffusion_tpu.models.embedders import (
     ClipEmbedder,
     ClipEmbedderConfig,
-    ConditionerWrapper,
-    T5TextEmbedder,
+    SD3Conditioner,
+    T5AsSD3Embedder,
     T5TextEmbedderConfig,
 )
 from flash_diffusion_tpu.schedulers import SchedulerConfig
 from flash_diffusion_tpu.trainer import CheckpointCallback, MetricLogger, TrainingConfig, TrainingPipeline
 from flash_diffusion_tpu.utils.hf import import_clip_text, import_t5_encoder, import_vae
-
-
-class SD3Conditioner(ConditionerWrapper):
-    """Packs CLIP-L/CLIP-G/T5 outputs into SD3's context layout:
-    crossattn = [pad(clipL ⊕ clipG → 4096) ; T5 tokens],
-    vector    = [clipL pooled ; clipG pooled] (2048).
-    Stands in for the reference's retained ``StableDiffusion3Pipeline
-    .encode_prompt`` (flash_sd3/flash_diffusion_model.py:195-233)."""
-
-    def __call__(self, params, batch, rng=None, ucg_keys=None, set_ucg_rate_zero=False):
-        out = super().__call__(params, batch, rng, ucg_keys, set_ucg_rate_zero)
-        cond = out["cond"]
-        clip_tokens = cond["crossattn"]  # [B, 77, 768+1280]
-        t5_tokens = cond.pop("t5_crossattn", None)
-        if t5_tokens is not None:
-            pad = t5_tokens.shape[-1] - clip_tokens.shape[-1]
-            clip_tokens = jnp.pad(clip_tokens, ((0, 0), (0, 0), (0, pad)))
-            cond["crossattn"] = jnp.concatenate([clip_tokens, t5_tokens], axis=1)
-        cond.pop("attention_mask", None)
-        return out
-
-
-class _T5AsSD3(T5TextEmbedder):
-    """T5 embedder emitting under a distinct key so the packer can find it."""
-
-    def __call__(self, params, batch, force_zero=0.0):
-        out = super().__call__(params, batch, force_zero)
-        return {"t5_crossattn": out["crossattn"], "attention_mask": out.get("attention_mask")}
 
 
 def main():
@@ -94,7 +66,7 @@ def main():
             layer="hidden", layer_idx=-2, always_return_pooled=True, use_projection=True,
         )
     )
-    t5 = _T5AsSD3(T5TextEmbedderConfig(input_key="text", max_length=cfg.get("T5_MAX_LENGTH", 77)))
+    t5 = T5AsSD3Embedder(T5TextEmbedderConfig(input_key="text", max_length=cfg.get("T5_MAX_LENGTH", 77)))
     conditioner = SD3Conditioner([clip_l, clip_g, t5])
     disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=4))
 

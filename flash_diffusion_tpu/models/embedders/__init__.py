@@ -2,9 +2,12 @@ from .base import DIM2CONDITIONING, BaseConditionerConfig, Conditioner
 from .misc import (
     ModuleEmbedder,
     ModuleEmbedderConfig,
+    RawVectorEmbedder,
+    RawVectorEmbedderConfig,
     TimestepsEmbedder,
     TimestepsEmbedderConfig,
 )
+from .sd3 import SD3Conditioner, T5AsSD3Embedder
 from .text import ClipEmbedder, ClipEmbedderConfig, T5TextEmbedder, T5TextEmbedderConfig
 from .wrapper import KEY2CATDIM, ConditionerWrapper
 
@@ -18,6 +21,10 @@ __all__ = [
     "KEY2CATDIM",
     "ModuleEmbedder",
     "ModuleEmbedderConfig",
+    "RawVectorEmbedder",
+    "RawVectorEmbedderConfig",
+    "SD3Conditioner",
+    "T5AsSD3Embedder",
     "T5TextEmbedder",
     "T5TextEmbedderConfig",
     "TimestepsEmbedder",

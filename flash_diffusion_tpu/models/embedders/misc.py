@@ -89,6 +89,25 @@ class _Stack(nn.Module):
         return x
 
 
+@dataclass
+class RawVectorEmbedderConfig(BaseConditionerConfig):
+    """Pass scalar metadata straight through as "vector" conditioning —
+    used by Pixart, whose DiT embeds resolution/aspect-ratio internally
+    (models/dit.py AdaLayerNormSingle num_vector_embeds)."""
+
+
+class RawVectorEmbedder(Conditioner):
+    def init(self, rng, batch):
+        return {}
+
+    def embed(self, params, batch):
+        del params
+        x = jnp.asarray(batch[self.input_key], jnp.float32)
+        if x.ndim == 1:
+            x = x[:, None]
+        return {"vector": x}
+
+
 class ModuleEmbedder(Conditioner):
     """Config-built flax stack over ``batch[input_key]`` (e.g. a conv over a
     low-res image for concat conditioning)."""

@@ -164,6 +164,41 @@ def _xla_attention(q, k, v, bias, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
 
 
+# --------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward (memory-light online softmax),
+# XLA-recompute backward (pallas_call has no autodiff rule; the recomputed
+# softmax backward fuses well under XLA and costs the same as the plain
+# einsum path — measured equal on v5e for these shapes).
+# --------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_attention_vjp(q, k, v, scale):
+    b, sq, h, d = q.shape
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, k.shape[1], d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, v.shape[1], d)
+    out = _flash_attention_bhsd(qt, kt, vt, scale)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+def _pallas_attention_fwd(q, k, v, scale):
+    return _pallas_attention_vjp(q, k, v, scale), (q, k, v)
+
+
+def _pallas_attention_bwd(scale, res, g):
+    q, k, v = res
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    gv = jnp.einsum("bhqk,bqhd->bkhd", p, g.astype(jnp.float32)).astype(v.dtype)
+    gp = jnp.einsum("bqhd,bkhd->bhqk", g.astype(jnp.float32), v.astype(jnp.float32))
+    gs = p * (gp - jnp.sum(gp * p, axis=-1, keepdims=True))
+    gq = (jnp.einsum("bhqk,bkhd->bqhd", gs, k.astype(jnp.float32)) * scale).astype(q.dtype)
+    gk = (jnp.einsum("bhqk,bqhd->bkhd", gs, q.astype(jnp.float32)) * scale).astype(k.dtype)
+    return gq, gk, gv
+
+
+_pallas_attention_vjp.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -196,9 +231,4 @@ def dot_product_attention(
         )
     if not use_pallas or bias is not None:
         return _xla_attention(q, k, v, bias, scale)
-
-    qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
-    kt = k.transpose(0, 2, 1, 3).reshape(b * h, k.shape[1], d)
-    vt = v.transpose(0, 2, 1, 3).reshape(b * h, v.shape[1], d)
-    out = _flash_attention_bhsd(qt, kt, vt, scale)
-    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    return _pallas_attention_vjp(q, k, v, scale)

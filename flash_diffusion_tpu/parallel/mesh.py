@@ -60,6 +60,34 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_params_fsdp(
+    tree,
+    mesh: Mesh,
+    axis: str = "data",
+    min_size: int = 2**16,
+):
+    """FSDP-style parameter sharding: shard each large leaf's first
+    axis-divisible dimension over ``axis``; small leaves stay replicated.
+    XLA all-gathers shards on use inside jit — memory scales down with the
+    mesh while the step stays a plain jit (ZeRO-3-like; the reference has
+    no counterpart, SURVEY.md §2.2 'no FSDP/ZeRO')."""
+    n = mesh.shape[axis]
+
+    def spec_for(x):
+        if not hasattr(x, "shape") or x.size * getattr(x.dtype, "itemsize", 4) < min_size:
+            return P()
+        for d, s in enumerate(x.shape):
+            if s % n == 0 and s >= n:
+                parts = [None] * len(x.shape)
+                parts[d] = axis
+                return P(*parts)
+        return P()
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), tree
+    )
+
+
 def local_batch_slice(global_batch_size: int) -> slice:
     """This host's slice of a globally-indexed dataset (replaces
     webdataset split_by_node, reference data/datasets/dataset.py:83)."""

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import optax
 
 from ..distill.losses import clip_disc_weights
-from ..parallel import batch_sharding, create_mesh, replicate, shard_batch
+from ..parallel import batch_sharding, create_mesh, replicate, shard_batch, shard_params_fsdp
 from .training_config import TrainingConfig
 
 logger = logging.getLogger(__name__)
@@ -56,11 +56,17 @@ class TrainingPipeline:
         lora_init: Dict[str, Any],
         disc_init: Optional[Dict[str, Any]] = None,
         mesh=None,
+        frozen_sharding: str = "replicated",  # replicated | fsdp
     ):
         self.model = model
         self.config = config
         self.mesh = mesh if mesh is not None else create_mesh()
-        self.frozen = replicate(frozen, self.mesh)
+        if frozen_sharding == "fsdp":
+            # shard big frozen weights (teacher/vae/text encoders) over the
+            # data axis; XLA gathers on use — memory scales with devices
+            self.frozen = shard_params_fsdp(frozen, self.mesh)
+        else:
+            self.frozen = replicate(frozen, self.mesh)
         self.tx_g = config.build_optimizer(0)
         self.tx_d = config.build_optimizer(1) if len(config.optimizers_name) > 1 else None
         self._lora_init = lora_init
