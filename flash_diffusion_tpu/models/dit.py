@@ -48,6 +48,7 @@ class DiTConfig(BaseConfig):
     num_vector_embeds: int = 0
     vector_embed_dim: int = 256  # sinusoidal width per extra scalar
     sample_size: int = 64  # base grid for pos-embed interpolation scale
+    remat: bool = False
 
 
 def pixart_config(**overrides) -> DiTConfig:
@@ -194,8 +195,9 @@ class DiT(nn.Module):
                 context_bias = jnp.where(attn_mask[:, None, None, :] > 0, 0.0, -1e9)
 
         features = None
+        Block = nn.remat(PixartBlock) if cfg.remat else PixartBlock
         for i in range(cfg.depth):
-            x = PixartBlock(d, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype, name=f"block_{i}")(
+            x = Block(d, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype, name=f"block_{i}")(
                 x, mod6, context=context, context_bias=context_bias
             )
             if return_features and i == cfg.depth // 2 - 1:

@@ -45,6 +45,7 @@ class MMDiTConfig(BaseConfig):
     mlp_ratio: float = 4.0
     qk_norm: bool = False
     pos_embed_max_size: int = 192
+    remat: bool = False
     sample_size: int = 128
 
 
@@ -186,8 +187,9 @@ class MMDiT(nn.Module):
             return t.astype(jnp.float32)
 
         features = None
+        Block = nn.remat(JointBlock) if cfg.remat else JointBlock
         for i in range(cfg.depth):
-            x, c = JointBlock(
+            x, c = Block(
                 d,
                 cfg.num_heads,
                 cfg.mlp_ratio,

@@ -68,6 +68,7 @@ class UNetConfig(BaseConfig):
     cross_attention_dim: Optional[int] = 768
     norm_num_groups: int = 32
     class_embed_type: Optional[str] = None  # None | "projection"
+    remat: bool = False  # rematerialize blocks (training memory at 1024²)
     projection_class_embeddings_input_dim: Optional[int] = None
     mid_block_attn: bool = True
 
@@ -138,6 +139,8 @@ class UNet2DCondition(nn.Module):
         if concat is not None:
             sample = jnp.concatenate([sample, concat.astype(sample.dtype)], axis=-1)
 
+        Res = nn.remat(ResnetBlock2D) if cfg.remat else ResnetBlock2D
+        Attn = nn.remat(SpatialTransformer, static_argnums=()) if cfg.remat else SpatialTransformer
         b0 = cfg.block_out_channels[0]
         temb_dim = b0 * 4
         temb = timestep_embedding(jnp.atleast_1d(timestep), b0)
@@ -160,13 +163,13 @@ class UNet2DCondition(nn.Module):
             has_attn = block_type in ("CrossAttnDownBlock2D", "AttnDownBlock2D")
             cross = block_type == "CrossAttnDownBlock2D"
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock2D(
+                h = Res(
                     ch, temb_dim, cfg.norm_num_groups, dtype=self.dtype,
                     name=f"down_{lvl}_resnet_{j}",
                 )(h, temb)
                 if has_attn:
                     heads = cfg.num_heads[lvl]
-                    h = SpatialTransformer(
+                    h = Attn(
                         heads,
                         ch // heads,
                         depth=cfg.transformer_layers_per_block[lvl],
@@ -184,10 +187,10 @@ class UNet2DCondition(nn.Module):
 
         # ---- mid -------------------------------------------------------
         ch = cfg.block_out_channels[-1]
-        h = ResnetBlock2D(ch, temb_dim, cfg.norm_num_groups, dtype=self.dtype, name="mid_resnet_0")(h, temb)
+        h = Res(ch, temb_dim, cfg.norm_num_groups, dtype=self.dtype, name="mid_resnet_0")(h, temb)
         if cfg.mid_block_attn:
             heads = cfg.num_heads[-1]
-            h = SpatialTransformer(
+            h = Attn(
                 heads,
                 ch // heads,
                 depth=cfg.transformer_layers_per_block[-1],
@@ -196,7 +199,7 @@ class UNet2DCondition(nn.Module):
                 dtype=self.dtype,
                 name="mid_attn",
             )(h, context=context)
-        h = ResnetBlock2D(ch, temb_dim, cfg.norm_num_groups, dtype=self.dtype, name="mid_resnet_1")(h, temb)
+        h = Res(ch, temb_dim, cfg.norm_num_groups, dtype=self.dtype, name="mid_resnet_1")(h, temb)
         mid_features = h
 
         # ---- up path ---------------------------------------------------
@@ -208,13 +211,13 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock2D(
+                h = Res(
                     ch, temb_dim, cfg.norm_num_groups, dtype=self.dtype,
                     name=f"up_{lvl}_resnet_{j}",
                 )(h, temb)
                 if has_attn:
                     heads = cfg.num_heads[lvl]
-                    h = SpatialTransformer(
+                    h = Attn(
                         heads,
                         ch // heads,
                         depth=cfg.transformer_layers_per_block[lvl],
