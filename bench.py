@@ -1,13 +1,16 @@
-"""Headline benchmark: SDXL-architecture 1024² 4-NFE sampling, images/sec/chip.
+"""Headline benchmark: 4-NFE text-to-image sampling throughput per chip.
 
-Matches the reference's published inference setting — 4 denoiser evaluations
-(LCM trailing schedule, guidance 0 ⇒ no CFG doubling; reference
-README.md:342-352) plus the VAE decode — on random-init weights (timing is
-weight-value independent). Prints ONE JSON line. ``vs_baseline`` is the
-ratio against the reference repo's published number; it publishes none
-(BASELINE.md), so 1.0 = self-baseline.
+Default metric matches the reference's published inference setting on its
+flagship — SDXL at 1024², 4 denoiser evaluations (LCM trailing schedule,
+guidance 0 ⇒ no CFG doubling; reference README.md:342-352) plus the VAE
+decode — on random-init weights (timing is weight-value independent).
+``--model {sdxl,sd15,pixart,sd3}`` benches the other families. Prints ONE
+JSON line. ``vs_baseline`` is the ratio against the reference repo's
+published number; it publishes none (BASELINE.md), so 1.0 = self-baseline.
 
-Usage: python bench.py [--batch N] [--steps 4] [--no-decode] [--small]
+Timing note: iterations are CHAINED through the latents — under async
+dispatch (and the axon relay) blocking on the last result of independent
+calls does not serialize earlier ones.
 """
 
 import argparse
@@ -18,84 +21,121 @@ import jax
 import jax.numpy as jnp
 
 
-def build(batch: int, small: bool):
+def _zeros_bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+        tree,
+    )
+
+
+def build(model_name: str, batch: int):
     from flash_diffusion_tpu.models import (
         AutoencoderKL,
+        DiT,
+        MMDiT,
         UNet2DCondition,
+        pixart_config,
+        sd3_medium_config,
+        sd3_vae_config,
+        sd15_unet_config,
         sd_vae_config,
         sdxl_unet_config,
-        sd15_unet_config,
     )
-    from flash_diffusion_tpu.schedulers import SchedulerConfig, lcm
 
     dtype = jnp.bfloat16
-    if small:
-        unet_cfg = sd15_unet_config()
-        latent_hw, ctx_dim, vector_dim = 32, 768, None
-    else:
-        unet_cfg = sdxl_unet_config()
-        latent_hw, ctx_dim, vector_dim = 128, 2048, 2816
-    unet = UNet2DCondition(unet_cfg, dtype=dtype)
-    vae_cfg = sd_vae_config(scaling_factor=0.13025)
-    vae = AutoencoderKL(vae_cfg, dtype=dtype)
-
     rng = jax.random.PRNGKey(0)
-    latents = jax.random.normal(rng, (batch, latent_hw, latent_hw, 4), jnp.float32)
-    cond = {"cond": {"crossattn": jnp.zeros((batch, 77, ctx_dim), dtype)}}
-    if vector_dim:
-        cond["cond"]["vector"] = jnp.zeros((batch, vector_dim), dtype)
-    t0 = jnp.zeros((batch,), jnp.int32)
+    if model_name == "sdxl":
+        net = UNet2DCondition(sdxl_unet_config(), dtype=dtype)
+        lat_hw, lat_c, res = 128, 4, 1024
+        cond = {
+            "cond": {
+                "crossattn": jnp.zeros((batch, 77, 2048), dtype),
+                "vector": jnp.zeros((batch, 2816), dtype),
+            }
+        }
+        vae_cfg = sd_vae_config(scaling_factor=0.13025)
+        t0 = jnp.zeros((batch,), jnp.int32)
+    elif model_name == "sd15":
+        net = UNet2DCondition(sd15_unet_config(), dtype=dtype)
+        lat_hw, lat_c, res = 64, 4, 512
+        cond = {"cond": {"crossattn": jnp.zeros((batch, 77, 768), dtype)}}
+        vae_cfg = sd_vae_config()
+        t0 = jnp.zeros((batch,), jnp.int32)
+    elif model_name == "pixart":
+        net = DiT(pixart_config(sample_size=128), dtype=dtype)
+        lat_hw, lat_c, res = 128, 4, 1024
+        cond = {
+            "cond": {
+                "crossattn": jnp.zeros((batch, 120, 4096), dtype),
+                "attention_mask": jnp.ones((batch, 120), jnp.int32),
+            }
+        }
+        vae_cfg = sd_vae_config()
+        t0 = jnp.zeros((batch,), jnp.int32)
+    elif model_name == "sd3":
+        net = MMDiT(sd3_medium_config(), dtype=dtype)
+        lat_hw, lat_c, res = 128, 16, 1024
+        cond = {
+            "cond": {
+                "crossattn": jnp.zeros((batch, 154, 4096), dtype),
+                "vector": jnp.zeros((batch, 2048), dtype),
+            }
+        }
+        vae_cfg = sd3_vae_config()
+        t0 = jnp.zeros((batch,), jnp.float32)
+    else:
+        raise SystemExit(f"unknown --model {model_name}")
 
-    def zeros_like_shapes(tree):
-        # serve in bf16: halves HBM for params (flax init dtype is fp32)
-        return jax.tree_util.tree_map(
-            lambda s: jnp.zeros(
-                s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
-            ),
-            tree,
-        )
-
-    unet_params = zeros_like_shapes(jax.eval_shape(lambda: unet.init(rng, latents, t0, cond)))
-    vae_params = zeros_like_shapes(
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+    latents = jax.random.normal(rng, (batch, lat_hw, lat_hw, lat_c), jnp.float32)
+    net_params = _zeros_bf16(jax.eval_shape(lambda: net.init(rng, latents, t0, cond)))
+    vae_params = _zeros_bf16(
         jax.eval_shape(lambda: vae.init(rng, jnp.zeros((1, 64, 64, 3), dtype)))
     )
-
-    sched = lcm.set_timesteps(SchedulerConfig(), 4)
-    return unet, unet_params, vae, vae_params, sched, latents, cond
+    return net, net_params, vae, vae_params, latents, cond, res
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="sdxl", choices=["sdxl", "sd15", "pixart", "sd3"])
     ap.add_argument("--batch", type=int, default=0, help="0 = auto (largest fitting)")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--no-decode", action="store_true")
-    ap.add_argument("--small", action="store_true", help="SD1.5 @256² (CPU smoke)")
     args = ap.parse_args()
 
-    from flash_diffusion_tpu.schedulers import lcm
+    from flash_diffusion_tpu.schedulers import SchedulerConfig, flow_match, lcm
+
+    is_flow = args.model == "sd3"
+    if is_flow:
+        sched = flow_match.set_timesteps(SchedulerConfig(shift=3.0), args.steps)
+        step_fn = flow_match.flash_step
+    else:
+        sched = lcm.set_timesteps(SchedulerConfig(), args.steps)
+        step_fn = lcm.step
 
     candidates = [args.batch] if args.batch else [4, 2, 1]
     last_err = None
     for batch in candidates:
         try:
-            unet, up, vae, vp, sched, latents, cond = build(batch, args.small)
+            net, up, vae, vp, latents, cond, res = build(args.model, batch)
 
             @jax.jit
             def sample(up, vp, z, key):
                 def body(carry, i):
                     s, k = carry
-                    t = jnp.broadcast_to(sched.timesteps[i], (z.shape[0],))
-                    pred = unet.apply(up, s.astype(jnp.bfloat16), t, cond)
+                    t = jnp.broadcast_to(sched.timesteps[i], (z.shape[0],)).astype(
+                        sched.timesteps.dtype
+                    )
+                    pred = net.apply(up, s.astype(jnp.bfloat16), t, cond)
                     k, sub = jax.random.split(k)
-                    s = lcm.step(sched, pred, i, s, key=sub)
+                    s = step_fn(sched, pred, i, s, key=sub)
                     return (s, k), None
 
                 (s, _), _ = jax.lax.scan(body, (z, key), jnp.arange(args.steps))
                 if args.no_decode:
                     return s
-                # decode per-image (lax.map) to cap VAE peak memory — lets
-                # the denoiser run at the larger batch
+                # per-image decode (lax.map) caps VAE peak memory
                 return jax.lax.map(
                     lambda zi: vae.apply(vp, zi[None], method=vae.decode_latents)[0], s
                 )
@@ -103,26 +143,19 @@ def main():
             key = jax.random.PRNGKey(1)
             out = sample(up, vp, latents, key)
             jax.block_until_ready(out)  # compile + warmup
-            # Chain iterations through the latents so each dispatch depends on
-            # the previous result — async dispatch + remote execution cannot
-            # overlap or elide work, and the final block covers the whole run.
             t0 = time.perf_counter()
             z = latents
             for i in range(args.iters):
                 out = sample(up, vp, z, jax.random.fold_in(key, i))
-                z = latents + 1e-6 * out.mean() if args.no_decode else (
-                    latents + 1e-6 * out[..., :1, :1, :].mean()
-                )
+                # chain: next input depends on previous output
+                z = latents + 1e-6 * out[..., :1, :1, :].mean()
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / args.iters
-            ips = batch / dt
-            res_label = "256" if args.small else "1024"
-            arch = "sd15" if args.small else "sdxl"
             print(
                 json.dumps(
                     {
-                        "metric": f"{arch}_{res_label}px_{args.steps}nfe_images_per_sec_per_chip",
-                        "value": round(ips, 4),
+                        "metric": f"{args.model}_{res}px_{args.steps}nfe_images_per_sec_per_chip",
+                        "value": round(batch / dt, 4),
                         "unit": "images/sec/chip",
                         "vs_baseline": 1.0,
                         "batch": batch,

@@ -84,6 +84,12 @@ class FlashDiffusionConfig(BaseConfig):
     sigma_data: float = 0.5
     timestep_scaling: float = 10.0
     lpips_crop: int = 64
+    # On a stage boundary where K changes, replace the teacher with the
+    # current merged student (the reference reads a never-assigned
+    # ``switch_teacher`` attribute — AttributeError if K varies,
+    # flash_diffusion_model.py:228-233 / SURVEY.md §2.3; here it's a real,
+    # working flag handled by the trainer between stages).
+    switch_teacher: bool = False
 
     def __post_init__(self):
         super().__post_init__()

@@ -80,10 +80,9 @@ def adapt_state_dict(
         result = np.zeros(tgt, dtype=v.dtype)
         if fill == "normal":
             r = rng if rng is not None else jax.random.PRNGKey(0)
-            noise = np.asarray(
+            result = np.array(
                 jax.random.normal(r, tgt) * v.std() + v.mean(), dtype=v.dtype
-            )
-            result = noise
+            )  # np.array (not asarray): writable copy
         slices = tuple(slice(0, min(a, b)) for a, b in zip(v.shape, tgt))
         result[slices] = v[slices]
         out[k] = jnp.asarray(result)

@@ -164,11 +164,24 @@ class TrainingPipeline:
         max_steps = max_steps or cfg.max_steps or sum(self.model.config.num_iterations_per_K)
         t_window = time.perf_counter()
         step0 = int(state.step)
+        prev_stage = self.model.stage_for_iteration(max(int(state.step), 1))
         for i, batch in enumerate(data):
             step = int(state.step)
             if step >= max_steps:
                 break
             stage = self.model.stage_for_iteration(step + 1)
+            if (
+                stage != prev_stage
+                and getattr(self.model.config, "switch_teacher", False)
+                and self.model.config.K[stage] != self.model.config.K[prev_stage]
+            ):
+                # teacher ← merged student at the stage boundary
+                merged = self.model.student_params(self.frozen, state.lora)
+                self.frozen = dict(self.frozen)
+                self.frozen["teacher"] = merged
+                self.frozen.pop("student_base", None)
+                logger.info("stage %d: switched teacher to merged student", stage)
+            prev_stage = stage
             batch = shard_batch(batch, self.mesh)
             state, aux = self.step_fn_for_stage(stage)(state, self.frozen, batch)
 
