@@ -95,6 +95,82 @@ def build(model_name: str, batch: int):
     return net, net_params, vae, vae_params, latents, cond, res
 
 
+def bench_train(args):
+    """Distillation train-step time: Flash-SD (SD1.5 512², K=32 teacher
+    rollout, DMD + hinge GAN, LoRA rank 64) — the north-star 'distill step
+    time' metric."""
+    from flash_diffusion_tpu.distill import (
+        ConvDiscriminator,
+        DiscriminatorConfig,
+        FlashDiffusion,
+        FlashDiffusionConfig,
+    )
+    from flash_diffusion_tpu.lora import init_lora, lora_scaling
+    from flash_diffusion_tpu.models import UNet2DCondition, sd15_unet_config
+    from flash_diffusion_tpu.trainer import TrainingConfig, TrainingPipeline
+
+    batch = args.batch or 4
+    dtype = jnp.bfloat16
+    unet = UNet2DCondition(sd15_unet_config(remat=True), dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    lat = jax.random.normal(rng, (batch, 64, 64, 4))
+    t0 = jnp.zeros((batch,), jnp.int32)
+    cond = {"cond": {"crossattn": jnp.zeros((batch, 77, 768), dtype)}}
+    teacher = _zeros_bf16(jax.eval_shape(lambda: unet.init(rng, lat, t0, cond)))
+    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=1))
+    disc_params = disc.init(rng, jnp.zeros((batch, 8, 8, 1280)))
+    lora = init_lora(teacher, rank=64, rng=rng)
+
+    class FixedCond:
+        def __call__(self, params, b, rng=None, ucg_keys=None, set_ucg_rate_zero=False):
+            c = dict(cond["cond"])
+            if ucg_keys:
+                c = {k: jnp.zeros_like(v) for k, v in c.items()}
+            return {"cond": c}
+
+        def init(self, rng, b):
+            return []
+
+    model = FlashDiffusion(
+        FlashDiffusionConfig(
+            K=[args.k], num_iterations_per_K=[100000], guidance_scale_min=3.0,
+            guidance_scale_max=7.0, timestep_distribution="mixture",
+            mixture_num_components=4, use_dmd_loss=True, gan_loss_type="hinge",
+        ),
+        student_module=unet, teacher_module=unet, conditioner=FixedCond(),
+        discriminator=disc, lora_scaling=lora_scaling(64),
+    )
+    pipe = TrainingPipeline(
+        model, TrainingConfig(learning_rates=[1e-5, 1e-5]),
+        frozen={"teacher": teacher, "conditioners": []},
+        lora_init=lora, disc_init=disc_params,
+    )
+    state = pipe.init_state()
+    step = pipe.step_fn_for_stage(0)
+    batch_data = {"image": lat}
+    state, aux = step(state, pipe.frozen, batch_data)  # compile + warmup
+    _ = float(aux["loss/generator"])  # force full execution (device read)
+    t0_ = time.perf_counter()
+    for _ in range(args.iters):
+        state, aux = step(state, pipe.frozen, batch_data)
+    # block_until_ready on donated buffers can return early under remote
+    # relays; a scalar device read is an unambiguous execution barrier
+    _ = float(aux["loss/generator"])
+    dt = (time.perf_counter() - t0_) / args.iters
+    print(
+        json.dumps(
+            {
+                "metric": f"sd15_512px_K{args.k}_distill_step_time",
+                "value": round(dt, 4),
+                "unit": "sec/step",
+                "vs_baseline": 1.0,
+                "batch": batch,
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="sdxl", choices=["sdxl", "sd15", "pixart", "sd3"])
@@ -102,7 +178,11 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--no-decode", action="store_true")
+    ap.add_argument("--train", action="store_true", help="bench the distill train step")
+    ap.add_argument("--k", type=int, default=32, help="teacher rollout steps (--train)")
     args = ap.parse_args()
+    if args.train:
+        return bench_train(args)
 
     from flash_diffusion_tpu.schedulers import SchedulerConfig, flow_match, lcm
 

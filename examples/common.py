@@ -12,7 +12,11 @@ from __future__ import annotations
 import argparse
 import logging
 import os
+import sys
 from typing import Dict, Optional
+
+# make the repo root importable regardless of invocation cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
