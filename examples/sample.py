@@ -89,9 +89,12 @@ def main():
     )
 
     try:
+        tok_dir = os.path.join(root, "tokenizer")
+        if not os.path.isdir(tok_dir):
+            raise FileNotFoundError(tok_dir)  # avoid HF-hub network retries
         from transformers import CLIPTokenizerFast
 
-        tok = CLIPTokenizerFast.from_pretrained(os.path.join(root, "tokenizer"))
+        tok = CLIPTokenizerFast.from_pretrained(tok_dir)
 
         def tokenizer_fn(texts):
             out = tok(texts, padding="max_length", max_length=77, truncation=True, return_tensors="np")
