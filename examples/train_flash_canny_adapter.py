@@ -6,6 +6,7 @@ T2I-Adapter residuals from a Canny edge map (dependency-free Canny mapper in
 the data chain), LoRA rank 128 student.
 """
 
+import math
 import os
 import sys
 
@@ -54,7 +55,9 @@ def main():
     conditioner = ConditionerWrapper(
         [ClipEmbedder(ClipEmbedderConfig(input_key="text", layer="last"))]
     )
-    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=3))
+    mid_hw = cfg.get("IMAGE_SIZE", 512) // 64
+    num_stages = max(0, int(math.log2(max(mid_hw // 4, 1))))
+    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=num_stages))
 
     rng = jax.random.PRNGKey(cfg.get("SEED", 0))
     size = cfg.get("IMAGE_SIZE", 512)
@@ -78,7 +81,7 @@ def main():
         lambda: conditioner.conditioners[0].init(rng, {"text_ids": jnp.zeros((1, 77), jnp.int32)}),
     )
     adapter_params = init_params_shape_only(adapter, jnp.zeros((1, size, size, 3)))
-    disc_params = disc.init(rng, jnp.zeros((1, lat // 8, lat // 8, 1280)))
+    disc_params = disc.init(rng, jnp.zeros((1, mid_hw, mid_hw, 1280)))
 
     rank = cfg.get("LORA_RANK", 128)
     lora = init_lora(teacher_params, rank=rank, rng=rng)

@@ -9,6 +9,7 @@ Run: python examples/train_flash_sd.py --config examples/configs/flash_sd.yaml \
         [--weights-root /path/to/local/hf/checkpoints] [--random-init]
 """
 
+import math
 import os
 import sys
 
@@ -65,10 +66,13 @@ def main():
             )
         ]
     )
-    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=3))
+    size = cfg.get("IMAGE_SIZE", 512)
+    mid_hw = size // 64  # SD1.5 UNet: 4 levels -> mid at latent/8
+    num_stages = max(0, int(math.log2(max(mid_hw // 4, 1))))
+    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=num_stages))
 
     rng = jax.random.PRNGKey(cfg.get("SEED", 0))
-    x = jnp.zeros((1, 64, 64, 4))
+    x = jnp.zeros((1, size // 8, size // 8, 4))
     t = jnp.zeros((1,), jnp.int32)
     dummy_cond = {"cond": {"crossattn": jnp.zeros((1, 77, 768))}}
     teacher_params = maybe_import(
@@ -86,7 +90,7 @@ def main():
         import_clip_text, conditioner.conditioners[0].encoder_config, args.random_init,
         lambda: conditioner.conditioners[0].init(rng, {"text_ids": jnp.zeros((1, 77), jnp.int32)}),
     )
-    disc_params = disc.init(rng, jnp.zeros((1, 8, 8, 1280)))
+    disc_params = disc.init(rng, jnp.zeros((1, mid_hw, mid_hw, 1280)))
 
     rank = cfg.get("LORA_RANK", 128)
     lora = init_lora(teacher_params, rank=rank, rng=rng)

@@ -50,9 +50,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
-    """Device-put every array leaf with the batch sharding."""
+    """Device-put array leaves with leading-axis sharding; leaves whose
+    leading dim does not divide the mesh axis (tiny debug batches, scalars)
+    are replicated instead."""
     sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    repl = replicated(mesh)
+    n = mesh.shape[axis]
+
+    def put(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):

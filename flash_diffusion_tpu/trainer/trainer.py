@@ -24,6 +24,7 @@ from typing import Any, Callable, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..distill.losses import clip_disc_weights
@@ -182,6 +183,14 @@ class TrainingPipeline:
                 self.frozen.pop("student_base", None)
                 logger.info("stage %d: switched teacher to merged student", stage)
             prev_stage = stage
+            # strip non-numeric leaves (raw text, __key__, …) — the jitted
+            # step consumes token ids / arrays only
+            batch = {
+                k: v
+                for k, v in batch.items()
+                if isinstance(v, (np.ndarray, jnp.ndarray))
+                or (hasattr(v, "dtype") and hasattr(v, "shape"))
+            }
             batch = shard_batch(batch, self.mesh)
             state, aux = self.step_fn_for_stage(stage)(state, self.frozen, batch)
 
