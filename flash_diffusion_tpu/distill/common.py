@@ -10,7 +10,7 @@ Stage-dependent probability tables are computed host-side ONCE per stage
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,15 +12,11 @@ conv to one logit per spatial position, flattened to [B, N_logits].
 
 from __future__ import annotations
 
-from dataclasses import field
-from typing import List
-
 import flax.linen as nn
 import jax.numpy as jnp
 from pydantic.dataclasses import dataclass
 
 from ..config import BaseConfig
-from .losses import center_crop  # noqa: F401  (re-export convenience)
 
 
 @dataclass

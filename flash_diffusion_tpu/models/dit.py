@@ -18,8 +18,7 @@ attention). The wrapper's output-channel crop (tranformers.py:91) is the
 from __future__ import annotations
 
 import math
-from dataclasses import field
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ import numpy as np
 from pydantic.dataclasses import dataclass
 
 from ..config import BaseConfig
-from ..ops import dot_product_attention, layer_norm
+from ..ops import layer_norm
 from .layers import Attention, TimestepEmbedMLP, timestep_embedding
 
 Cond = Optional[Dict[str, Dict[str, jnp.ndarray]]]
