@@ -64,6 +64,42 @@ def test_clip_text_parity():
     )
 
 
+def test_clip_vision_parity():
+    from transformers import CLIPVisionConfig as HFVisionConfig
+    from transformers.models.clip.modeling_clip import CLIPVisionModelWithProjection
+
+    from flash_diffusion_tpu.models.vision import CLIPVisionConfig, CLIPVisionModel
+    from flash_diffusion_tpu.utils.hf import import_clip_vision
+
+    hf_cfg = HFVisionConfig(
+        image_size=32,
+        patch_size=8,
+        hidden_size=24,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        projection_dim=16,
+        hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf = CLIPVisionModelWithProjection(hf_cfg).eval()
+    images = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        out = hf(images)
+
+    cfg = CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=24, intermediate_size=48,
+        num_layers=2, num_heads=4, projection_dim=16, hidden_act="quick_gelu",
+    )
+    model = CLIPVisionModel(cfg)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = import_clip_vision(sd, cfg)
+    mine = model.apply(params, jnp.asarray(images.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.array(mine["image_embeds"]), out.image_embeds.numpy(), atol=3e-5
+    )
+
+
 def test_t5_encoder_parity():
     from transformers import T5Config as HFT5Config
     from transformers.models.t5.modeling_t5 import T5EncoderModel
