@@ -50,6 +50,11 @@ class LPIPS(nn.Module):
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        if a.shape[1] < 16 or a.shape[2] < 16:
+            raise ValueError(
+                f"LPIPS input {a.shape[1]}x{a.shape[2]} too small: VGG16's four "
+                f"max-pools need >= 16x16 (empty feature maps yield NaN)"
+            )
         vgg = VGG16Features(dtype=self.dtype, name="vgg")
 
         def norm_input(x):

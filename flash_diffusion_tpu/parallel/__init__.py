@@ -8,6 +8,7 @@ from .mesh import (
     shard_batch,
     shard_params_fsdp,
 )
+from .tp import shard_params_tp, tp_sharding_summary, tp_spec_for
 
 __all__ = [
     "batch_sharding",
@@ -18,4 +19,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_params_fsdp",
+    "shard_params_tp",
+    "tp_sharding_summary",
+    "tp_spec_for",
 ]

@@ -1,0 +1,68 @@
+"""Tensor-parallel param sharding: TP-sharded forward == replicated forward.
+
+Runs the UNet and MMDiT with Megatron-style column/row kernel placement over
+a ("data", "model") mesh on 8 virtual CPU devices; jit's SPMD partitioner
+inserts the all-reduces. Output must match the unsharded forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_diffusion_tpu.models import MMDiT, MMDiTConfig, UNet2DCondition, UNetConfig
+from flash_diffusion_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    shard_params_tp,
+    tp_sharding_summary,
+)
+
+
+def test_unet_tp_matches_replicated():
+    mesh = create_mesh(axes=("data", "model"), shape=(4, 2))
+    unet = UNet2DCondition(
+        UNetConfig(
+            in_channels=4, out_channels=4, block_out_channels=[8, 16],
+            down_block_types=["CrossAttnDownBlock2D", "DownBlock2D"], layers_per_block=1,
+            transformer_layers_per_block=[1, 1], num_heads=[2, 2],
+            cross_attention_dim=8, norm_num_groups=4,
+        )
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 4))
+    t = jnp.zeros((4,), jnp.int32)
+    cond = {"cond": {"crossattn": jax.random.normal(jax.random.PRNGKey(1), (4, 6, 8))}}
+    params = unet.init(jax.random.PRNGKey(2), x, t, cond)
+    ref = unet.apply(params, x, t, cond)
+
+    tp_params = shard_params_tp(params, mesh)
+    counts = tp_sharding_summary(params, mesh)
+    assert counts["column"] > 0 and counts["row"] > 0, counts
+
+    xs = jax.device_put(x, batch_sharding(mesh))
+    out = jax.jit(lambda p, x: unet.apply(p, x, t, cond))(tp_params, xs)
+    assert np.allclose(np.array(out), np.array(ref), atol=1e-4)
+
+
+def test_mmdit_tp_matches_replicated():
+    mesh = create_mesh(axes=("data", "model"), shape=(4, 2))
+    mmdit = MMDiT(
+        MMDiTConfig(
+            in_channels=4, out_channels=4, hidden_size=16, depth=2, num_heads=2,
+            joint_attention_dim=12, pooled_projection_dim=8, sample_size=8,
+        )
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 4))
+    t = jnp.zeros((4,), jnp.float32)
+    cond = {
+        "cond": {
+            "crossattn": jax.random.normal(jax.random.PRNGKey(1), (4, 6, 12)),
+            "vector": jnp.ones((4, 8)),
+        }
+    }
+    params = mmdit.init(jax.random.PRNGKey(2), x, t, cond)
+    ref = mmdit.apply(params, x, t, cond)
+
+    tp_params = shard_params_tp(params, mesh)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    out = jax.jit(lambda p, x: mmdit.apply(p, x, t, cond))(tp_params, xs)
+    assert np.allclose(np.array(out), np.array(ref), atol=1e-4)
