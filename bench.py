@@ -194,7 +194,7 @@ def main():
         sched = lcm.set_timesteps(SchedulerConfig(), args.steps)
         step_fn = lcm.step
 
-    candidates = [args.batch] if args.batch else [4, 2, 1]
+    candidates = [args.batch] if args.batch else [8, 4, 2, 1]
     last_err = None
     for batch in candidates:
         try:

@@ -48,6 +48,9 @@ class DataModuleConfig(BaseConfig):
     seed: int = 0
     drop_last: bool = True
     prefetch: int = 2
+    # optional member-name rewrite before stem/ext grouping (the reference's
+    # rename_files_fn hook, data/datasets/datasets_config.py:42)
+    rename_files: Optional[Dict[str, str]] = None
 
 
 def _decode_member(name: str, data: bytes, decoder: str) -> Any:
@@ -69,10 +72,15 @@ def _decode_member(name: str, data: bytes, decoder: str) -> Any:
     return data
 
 
-def iter_tar_samples(path: str, decoder: str = "pil") -> Iterator[Dict[str, Any]]:
+def iter_tar_samples(
+    path: str,
+    decoder: str = "pil",
+    rename_files: Optional[Dict[str, str]] = None,
+) -> Iterator[Dict[str, Any]]:
     """Group tar members by filename stem into sample dicts keyed by
     extension (webdataset convention: 000123.jpg + 000123.json → one
-    sample with keys jpg/json)."""
+    sample with keys jpg/json). ``rename_files`` maps extensions before
+    grouping (rename_files_fn analog)."""
     try:
         tf = tarfile.open(path, mode="r|*")
     except Exception as e:  # warn_and_continue
@@ -84,6 +92,10 @@ def iter_tar_samples(path: str, decoder: str = "pil") -> Iterator[Dict[str, Any]
             if not member.isfile():
                 continue
             name = member.name
+            if rename_files:
+                stem0, _, ext0 = name.partition(".")
+                if ext0 in rename_files:
+                    name = f"{stem0}.{rename_files[ext0]}"
             if "." not in name:
                 continue
             stem, ext = name.split(".", 1)
@@ -161,7 +173,7 @@ class DataPipeline:
                     shard = shard_q.get_nowait()
                 except queue.Empty:
                     break
-                for sample in iter_tar_samples(shard, cfg.decoder):
+                for sample in iter_tar_samples(shard, cfg.decoder, cfg.rename_files):
                     try:
                         mapped = self._apply(sample)
                     except Exception as e:  # warn_and_continue
