@@ -26,7 +26,6 @@ under ``{input_key}_ids``; adapter input under ``config.adapter_input_key``.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import field
 from typing import Any, Dict, List, Literal, Optional, Union
 

