@@ -13,6 +13,11 @@ dispatch (and the axon relay) blocking on the last result of independent
 calls does not serialize earlier ones.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import argparse
 import json
 import time
