@@ -67,7 +67,11 @@ def sample_start_index(rng: jax.Array, pdf: np.ndarray) -> jnp.ndarray:
 def stage_index(iter_step: int, num_iterations_per_k: Sequence[int]) -> int:
     """Which stage a (1-based) iteration belongs to (reference :221-224)."""
     cum = np.cumsum(num_iterations_per_k)
-    if iter_step > cum[-1]:
+    if iter_step >= cum[-1]:
+        # >= so the exactly-final iteration stays in the last stage instead
+        # of wrapping to 0 (all iter_step<cum False → argmax 0), which with
+        # switch_teacher=True would spuriously swap the teacher on the very
+        # last step.
         return len(cum) - 1
     return int(np.argmax(iter_step < cum))
 

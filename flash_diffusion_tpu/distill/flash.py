@@ -252,7 +252,8 @@ class FlashDiffusion:
                 sample = mod.step(sched, pred, i, sample, key=step_key)
             return sample, dpm_state, key
 
-        init = (noisy, jnp.zeros_like(noisy), rng)
+        dpm0 = mod.init_state(noisy) if self._sched_has_carry else jnp.zeros_like(noisy)
+        init = (noisy, dpm0, rng)
         out, _, _ = jax.lax.fori_loop(start_idx, k, body, init)
         return jax.lax.stop_gradient(out)
 
@@ -530,7 +531,8 @@ class FlashDiffusion:
             return (s, dpm_state, key), None
 
         n = sched.num_inference_steps
-        (sample, _, _), _ = jax.lax.scan(body, (sample, jnp.zeros_like(sample), rng), jnp.arange(n))
+        dpm0 = mod.init_state(sample) if has_carry else jnp.zeros_like(sample)
+        (sample, _, _), _ = jax.lax.scan(body, (sample, dpm0, rng), jnp.arange(n))
 
         if decode and self.vae is not None:
             return self.vae.apply(frozen["vae"], sample, method=self.vae.decode_latents)

@@ -117,22 +117,28 @@ def to_peft(
     (torch Linear layout = transposed flax kernels; conv A stays OIHW).
     """
     flat = traverse_util.flatten_dict(lora, sep="/")
-    out = {}
+    # group (a, b) per module so b's export layout can follow a's rank
+    # (PEFT Conv2d-LoRA expects lora_B as a 1×1 conv weight [out, r, 1, 1])
+    pairs: Dict[str, Dict[str, np.ndarray]] = {}
     for k, v in flat.items():
         path, leaf = k.rsplit("/", 1)
+        pairs.setdefault(path, {})[leaf] = np.asarray(v)
+    out = {}
+    for path, ab in pairs.items():
         module = path[: -len("/kernel")] if path.endswith("/kernel") else path
         module = name_map.get(module, module) if name_map else module
         module = module.replace("/", ".")
-        arr = np.asarray(v)
-        if leaf == "a":
-            if arr.ndim == 2:
-                out[f"{prefix}.{module}.lora_A.weight"] = np.ascontiguousarray(arr.T)  # [r, in]
-            else:  # [kh,kw,in,r] -> torch conv [r, in, kh, kw]
-                out[f"{prefix}.{module}.lora_A.weight"] = np.ascontiguousarray(
-                    arr.transpose(3, 2, 0, 1)
-                )
-        else:
-            out[f"{prefix}.{module}.lora_B.weight"] = np.ascontiguousarray(arr.T)  # [out, r]
+        a, b = ab["a"], ab["b"]
+        if a.ndim == 2:
+            out[f"{prefix}.{module}.lora_A.weight"] = np.ascontiguousarray(a.T)  # [r, in]
+            out[f"{prefix}.{module}.lora_B.weight"] = np.ascontiguousarray(b.T)  # [out, r]
+        else:  # conv: A [kh,kw,in,r] -> torch [r, in, kh, kw]; B -> [out, r, 1, 1]
+            out[f"{prefix}.{module}.lora_A.weight"] = np.ascontiguousarray(
+                a.transpose(3, 2, 0, 1)
+            )
+            out[f"{prefix}.{module}.lora_B.weight"] = np.ascontiguousarray(
+                b.T[:, :, None, None]
+            )
     return out
 
 
@@ -171,7 +177,10 @@ def from_peft(
                 arr = arr.transpose(2, 3, 1, 0)
                 rank = arr.shape[-1]
         else:
-            arr = arr.T  # [r, out]
+            if arr.ndim == 4:  # conv lora_B [out, r, 1, 1] -> [r, out]
+                arr = arr[:, :, 0, 0].T
+            else:
+                arr = arr.T  # [r, out]
         lora[path] = jnp.asarray(arr)
     if rank is None:
         raise ValueError(f"No LoRA tensors found under prefix {prefix!r}")

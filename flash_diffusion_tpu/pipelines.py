@@ -127,7 +127,11 @@ class FlashPipeline:
                     s = self.sched_mod.step(sched, pred, i, s, key=sub if stochastic else None)
                 return (s, aux, key), None
 
-            init = (sample, jnp.zeros_like(sample), rng)
+            init = (
+                sample,
+                self.sched_mod.init_state(sample) if has_carry else jnp.zeros_like(sample),
+                rng,
+            )
             (sample, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
             if self.vae is not None:
                 return self.vae.apply(vae_params, sample, method=self.vae.decode_latents)

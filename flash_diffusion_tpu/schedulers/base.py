@@ -96,6 +96,7 @@ class SchedulerConfig:
     # LCM specific
     timestep_scaling: float = 10.0
     sigma_data: float = 0.5
+    original_inference_steps: int = 50  # LCM origin-grid density (diffusers)
     # FlowMatch specific
     shift: float = 3.0
 

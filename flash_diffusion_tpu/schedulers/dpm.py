@@ -81,9 +81,16 @@ def scale_model_input(schedule: DPMSchedule, sample: jnp.ndarray, i) -> jnp.ndar
     return sample
 
 
-def init_state(sample: jnp.ndarray) -> jnp.ndarray:
-    """Multistep carry: previous step's x̂₀ (zeros before the first step)."""
-    return jnp.zeros_like(sample)
+def init_state(sample: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multistep carry: (previous x̂₀, has_history flag).
+
+    The flag matters because rollouts may start at a traced ``start_idx > 0``
+    (FlashDiffusion teacher rollout): the first *executed* step must be
+    first-order regardless of its position, exactly like diffusers resets
+    ``lower_order_nums=0`` on every fresh rollout
+    (reference: examples/train_flash_sdxl.py:221-236 uses a freshly-reset
+    DPMSolverMultistepScheduler per forward)."""
+    return jnp.zeros_like(sample), jnp.zeros((), jnp.bool_)
 
 
 def convert_model_output(
@@ -106,20 +113,27 @@ def step(
     model_output: jnp.ndarray,
     i: jnp.ndarray,
     sample: jnp.ndarray,
-    prev_x0: jnp.ndarray,
+    state: Tuple[jnp.ndarray, jnp.ndarray],
     key: Optional[jax.Array] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One DPM-Solver++ 2M step.
 
-    Returns (prev_sample, new_carry). First-order update at i==0 (no history)
-    and at the final step (``final_sigmas_type="zero"`` forces first order,
-    and the sigma_t→0 limit collapses the update to x̂₀ exactly).
+    Returns (prev_sample, new_carry). First-order update on the first
+    *executed* step (no x̂₀ history in the carry — matches diffusers
+    ``lower_order_nums==0`` after a reset, even when the rollout enters at
+    a traced start_idx > 0) and at the final step (``lower_order_final``
+    with ``final_sigmas_type="zero"``, where the sigma_t→0 limit collapses
+    the update to x̂₀ exactly).
     """
     del key
+    prev_x0, has_hist = state
     x0 = convert_model_output(schedule, model_output, i, sample)
 
-    s_next = batch_broadcast(schedule.sigmas[i + 1], sample)
-    s_cur = batch_broadcast(schedule.sigmas[i], sample)
+    # NB: the (σ_next/σ)·x term uses the VP-space sigmas σ_t = σ·α_t
+    # (diffusers converts via _sigma_to_alpha_sigma_t before the update),
+    # NOT the raw Karras sigmas.
+    s_next = batch_broadcast(schedule.sigma_t[i + 1], sample)
+    s_cur = batch_broadcast(schedule.sigma_t[i], sample)
     a_next = batch_broadcast(schedule.alpha_t[i + 1], sample)
     lam_next = batch_broadcast(schedule.lambda_t[i + 1], sample)
     lam_cur = batch_broadcast(schedule.lambda_t[i], sample)
@@ -134,13 +148,13 @@ def step(
 
     # second order multistep (midpoint): add -½ α_next (e^{-h}-1) D1
     h_prev = lam_cur - lam_prev
-    r0 = h_prev / h
+    r0 = jnp.where(h_prev == 0, jnp.ones_like(h), h_prev / h)  # i==0 guard
     d1 = (x0 - prev_x0) / r0
     second = first - 0.5 * a_next * phi * d1
 
     n = schedule.num_inference_steps
-    use_first = jnp.logical_or(i == 0, i == n - 1)
+    use_first = jnp.logical_or(jnp.logical_not(has_hist), i == n - 1)
     # terminal sigma == 0: ratio/phi hit 0/-1 limits → first == x̂₀ exactly,
     # but guard NaNs from 0/0 in ratio when sigma_cur==0 (cannot happen: i<n).
     prev = jnp.where(use_first, first, second)
-    return prev, x0
+    return prev, (x0, jnp.ones((), jnp.bool_))

@@ -49,10 +49,17 @@ def set_timesteps(
     sig_train = _shift_sigma(t_train / T, config.shift)
 
     if timesteps is None:
-        # linspace over σ-time between σ_max and σ_min (diffusers semantics)
-        ts = np.linspace(sig_train[0] * T, sig_train[-1] * T, num_inference_steps)
-        sigmas = ts / T
+        # diffusers semantics: linspace over σ·T between the (already
+        # shifted) σ_max·T and σ_min·T, then apply the shift warp AGAIN to
+        # the linspace-derived sigmas (FlowMatchEulerDiscreteScheduler
+        # .set_timesteps re-shifts: σ ← s·σ/(1+(s−1)·σ)), and recompute
+        # the timestep grid from the re-shifted sigmas.
+        ts_lin = np.linspace(sig_train[0] * T, sig_train[-1] * T, num_inference_steps)
+        sigmas = _shift_sigma(ts_lin / T, config.shift)
+        ts = sigmas * T
     else:
+        # explicit grid (e.g. the student sampler reusing the teacher's
+        # already-shifted timesteps): taken verbatim, no re-shift.
         ts = np.asarray(timesteps, np.float64)
         sigmas = ts / T
     sigmas = np.append(sigmas, 0.0)

@@ -25,7 +25,6 @@ from .base import (
     SchedulerConfig,
     batch_broadcast,
     predicted_x0,
-    spaced_timesteps,
     training_tables,
 )
 
@@ -60,15 +59,23 @@ def set_timesteps(
     num_inference_steps: Optional[int] = None,
     timesteps: Optional[Sequence[int]] = None,
 ) -> LCMSchedule:
-    """Build the schedule from a step count or explicit (descending) timesteps."""
+    """Build the schedule from a step count or explicit (descending) timesteps.
+
+    When ``timesteps`` is None the grid follows diffusers' LCMScheduler: a
+    skipping grid over ``original_inference_steps`` LCM origin timesteps
+    ``(range(1, orig+1) * (T // orig) - 1)`` — NOT ``timestep_spacing``
+    (LCMScheduler ignores that config field; e.g. 4 steps at T=1000,
+    orig=50 → [999, 759, 499, 259]). This is the published Flash Diffusion
+    inference grid (reference README.md:342-352)."""
     acp, sqrt_acp, sqrt_1macp = training_tables(config)
     if timesteps is None:
-        timesteps = spaced_timesteps(
-            config.num_train_timesteps,
-            num_inference_steps,
-            config.timestep_spacing,
-            config.steps_offset,
-        )
+        orig = config.original_inference_steps
+        k = config.num_train_timesteps // orig
+        origin = np.arange(1, orig + 1, dtype=np.int64)[::-1] * k - 1
+        idx = np.floor(
+            np.linspace(0, len(origin), num=num_inference_steps, endpoint=False)
+        ).astype(np.int64)
+        timesteps = origin[idx]
     timesteps = np.asarray(timesteps, np.int64)
     n = len(timesteps)
     prev_timesteps = np.append(timesteps[1:], 0)

@@ -4,7 +4,9 @@ Frozen probe values from a deterministic synthetic rollout (8 steps,
 pred = 0.3·scaled_input + 0.05, PRNGKey(0) noise). Guards every scheduler's
 numerics across refactors — the closed-form tests check the math, this
 checks that NOTHING drifts. Regenerate only for intentional semantic
-changes (see git history of this file).
+changes (see git history of this file). Correctness (not just stability) is
+anchored separately by tests/test_scheduler_golden.py against the vendored
+diffusers-semantics ports.
 """
 
 import jax
@@ -14,13 +16,13 @@ import numpy as np
 from flash_diffusion_tpu.schedulers import REGISTRY, SchedulerConfig, dpm
 
 EXPECTED = {
-    "DDPMScheduler": [-14.548204, -3.170945, -1.410534, -4.830739, 3.747171],
-    "DPMSolverMultistepScheduler": [-0.81115, -0.540041, -0.268933, 0.002175, 0.273284],
-    "EulerDiscreteScheduler": [-6.418721, -3.941317, -1.463911, 1.013495, 3.490901],
-    "EulerAncestralDiscreteScheduler": [-14.539705, -3.165949, -1.409049, -4.832766, 3.741636],
-    "LCMScheduler": [-9.395864, -1.479241, -1.641893, -4.012811, 1.912493],
-    "FlowMatchEulerDiscreteScheduler": [-0.779967, -0.476237, -0.172508, 0.131222, 0.434952],
-    "FlashFlowMatchEulerDiscreteScheduler": [-1.017605, -0.049789, -0.51196, -0.58619, 0.0927],
+    "DDPMScheduler": [-14.548227, -3.17092, -1.41051, -4.830768, 3.747177],
+    "DPMSolverMultistepScheduler": [-5.853078, -3.592523, -1.331967, 0.928588, 3.189144],
+    "EulerDiscreteScheduler": [-6.418722, -3.941316, -1.463911, 1.013495, 3.490901],
+    "EulerAncestralDiscreteScheduler": [-14.539723, -3.165925, -1.409025, -4.832793, 3.741641],
+    "LCMScheduler": [-9.432272, -1.406976, -1.633408, -4.045339, 1.891783],
+    "FlowMatchEulerDiscreteScheduler": [-0.778221, -0.475356, -0.172491, 0.130374, 0.433238],
+    "FlashFlowMatchEulerDiscreteScheduler": [-0.713118, -0.020394, -0.810193, -0.946371, -0.087894],
 }
 
 

@@ -130,12 +130,12 @@ def test_dpm_first_and_final_steps():
     eps = jax.random.normal(jax.random.PRNGKey(1), sample.shape)
 
     # first step == first order closed form
-    out, x0 = dpm.step(sched, eps, jnp.int32(0), sample, dpm.init_state(sample))
+    out, (x0, _) = dpm.step(sched, eps, jnp.int32(0), sample, dpm.init_state(sample))
     a0, s0 = float(sched.alpha_t[0]), float(sched.sigma_t[0])
     x0_expect = (np.array(sample) - s0 * np.array(eps)) / a0
     assert np.allclose(np.array(x0), x0_expect, atol=1e-4)
     lam = np.array(sched.lambda_t)
-    sig = np.array(sched.sigmas)
+    sig = np.array(sched.sigma_t)  # VP sigmas (diffusers converts before the update)
     h = lam[1] - lam[0]
     expect = (sig[1] / sig[0]) * np.array(sample) - float(sched.alpha_t[1]) * (
         np.exp(-h) - 1
@@ -143,7 +143,9 @@ def test_dpm_first_and_final_steps():
     assert np.allclose(np.array(out), expect, atol=1e-3)
 
     # final step (terminal sigma 0) returns x̂₀ exactly (first-order limit)
-    out_f, _ = dpm.step(sched, eps, jnp.int32(n - 1), sample, x0)
+    out_f, _ = dpm.step(
+        sched, eps, jnp.int32(n - 1), sample, (x0, jnp.ones((), jnp.bool_))
+    )
     af, sf = float(sched.alpha_t[n - 1]), float(sched.sigma_t[n - 1])
     x0_f = (np.array(sample) - sf * np.array(eps)) / af
     assert np.allclose(np.array(out_f), x0_f, atol=1e-3)
@@ -156,8 +158,10 @@ def test_dpm_second_order_midpoint_formula():
     eps = jax.random.normal(jax.random.PRNGKey(3), sample.shape)
     prev_x0 = jax.random.normal(jax.random.PRNGKey(4), sample.shape)
     i = 3
-    out, new_x0 = dpm.step(sched, eps, jnp.int32(i), sample, prev_x0)
-    lam, sig, alpha = (np.array(sched.lambda_t), np.array(sched.sigmas), np.array(sched.alpha_t))
+    out, (new_x0, _) = dpm.step(
+        sched, eps, jnp.int32(i), sample, (prev_x0, jnp.ones((), jnp.bool_))
+    )
+    lam, sig, alpha = (np.array(sched.lambda_t), np.array(sched.sigma_t), np.array(sched.alpha_t))
     a_i, s_i = float(sched.alpha_t[i]), float(sched.sigma_t[i])
     m0 = (np.array(sample) - s_i * np.array(eps)) / a_i
     h = lam[i + 1] - lam[i]
@@ -171,6 +175,32 @@ def test_dpm_second_order_midpoint_formula():
     )
     assert np.allclose(np.array(out), expect, atol=1e-3)
     assert np.allclose(np.array(new_x0), m0, atol=1e-4)
+
+
+def test_dpm_fresh_carry_is_first_order_at_any_start_idx():
+    """A rollout entering at start_idx>0 with a fresh carry must take a
+    first-order step (diffusers resets lower_order_nums=0 every rollout);
+    the zero-initialized prev_x0 must never leak into a D1 correction."""
+    n = 8
+    sched = dpm.set_timesteps(SD_CONFIG, n)
+    sample = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 8, 8))
+    eps = jax.random.normal(jax.random.PRNGKey(6), sample.shape)
+    i = 3
+    out, (new_x0, has_hist) = dpm.step(sched, eps, jnp.int32(i), sample, dpm.init_state(sample))
+    lam, sig, alpha = (np.array(sched.lambda_t), np.array(sched.sigma_t), np.array(sched.alpha_t))
+    a_i, s_i = float(sched.alpha_t[i]), float(sched.sigma_t[i])
+    x0 = (np.array(sample) - s_i * np.array(eps)) / a_i
+    h = lam[i + 1] - lam[i]
+    first = (sig[i + 1] / sig[i]) * np.array(sample) - alpha[i + 1] * (np.exp(-h) - 1) * x0
+    assert np.allclose(np.array(out), first, atol=1e-3)
+    assert bool(has_hist)
+    # ...and the SECOND executed step uses second order against real history
+    out2, _ = dpm.step(sched, eps, jnp.int32(i + 1), sample, (new_x0, has_hist))
+    first2_a, first2_s = float(sched.alpha_t[i + 1]), float(sched.sigma_t[i + 1])
+    x0_2 = (np.array(sample) - first2_s * np.array(eps)) / first2_a
+    h2 = lam[i + 2] - lam[i + 1]
+    first2 = (sig[i + 2] / sig[i + 1]) * np.array(sample) - alpha[i + 2] * (np.exp(-h2) - 1) * x0_2
+    assert not np.allclose(np.array(out2), first2, atol=1e-3)
 
 
 def test_lcm_boundary_scalings_match_reference_formula():
