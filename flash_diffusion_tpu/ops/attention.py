@@ -1,16 +1,29 @@
-"""Attention ops: Pallas flash-attention TPU kernel + XLA reference path.
+"""Attention ops: Pallas flash-attention TPU kernels (fwd + bwd) + XLA path.
 
 This is the TPU-native replacement for the reference's xformers
 memory-efficient attention dependency (reference: requirements.txt:6; the
-reference has no first-party kernel — SURVEY.md §2). The kernel is a blocked
-online-softmax (flash) attention:
+reference has no first-party kernel — SURVEY.md §2).
 
+Forward: blocked online-softmax (flash) attention —
 - grid (B·H, Q-blocks, KV-blocks); KV innermost so running max / denominator
   / accumulator live in VMEM scratch across KV steps,
-- fp32 accumulation on the MXU via ``preferred_element_type``,
-- ragged KV tails masked in-kernel (cross-attention KV = 77 text tokens),
-- bias-carrying paths (T5 relative position bias, causal CLIP masks) use the
-  XLA einsum path — those sequences are ≤ 128 tokens and XLA fuses them fine.
+- matmuls run with the input dtype (bf16 on TPU) on the MXU with fp32
+  accumulation via ``preferred_element_type`` — keeping operands bf16 is the
+  difference between full and fractional MXU throughput,
+- per-row logsumexp is written as a second output so the backward never
+  materializes the [Sq, Skv] probability matrix,
+- ragged KV tails masked in-kernel (cross-attention KV = 77 text tokens).
+
+Backward: two flash kernels (no O(S²) memory):
+- dKV kernel: grid (B·H, KV-blocks, Q-blocks), Q innermost; recomputes
+  pᵀ = exp(K·Qᵀ·scale − lse) blockwise, accumulates dV += pᵀ·dO and
+  dK += (pᵀ∘(V·dOᵀ − Δ))·Q·scale in fp32 VMEM scratch,
+- dQ kernel: grid (B·H, Q-blocks, KV-blocks), KV innermost; accumulates
+  dQ += (p∘(dO·Vᵀ − Δ))·K·scale,
+where Δ = rowsum(dO∘O) is precomputed by XLA (a cheap fused reduction).
+
+Bias-carrying paths (T5 relative position bias, causal CLIP masks) use the
+XLA einsum path — those sequences are ≤ 128 tokens and XLA fuses them fine.
 
 Layout convention: [B, S, H, D] (jax.nn.dot_product_attention's BTNH).
 """
@@ -36,11 +49,19 @@ _INTERPRET = os.environ.get("FLASH_TPU_PALLAS_INTERPRET", "0") == "1"
 _DISABLE_PALLAS = os.environ.get("FLASH_TPU_DISABLE_PALLAS", "0") == "1"
 
 
-def _flash_kernel(
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# --------------------------------------------------------------------------
+# Forward kernel
+# --------------------------------------------------------------------------
+def _flash_fwd_kernel(
     q_ref,
     k_ref,
     v_ref,
     o_ref,
+    lse_ref,
     m_scratch,
     l_scratch,
     acc_scratch,
@@ -58,14 +79,15 @@ def _flash_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
-    k = k_ref[0]  # (bkv, d)
+    # bf16 operands on the MXU, fp32 accumulation; scale applied to the
+    # fp32 product (cheaper AND more accurate than scaling bf16 q).
     s = jax.lax.dot_general(
-        q,
-        k.astype(jnp.float32),
+        q_ref[0],
+        k_ref[0],
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bq, bkv)
+    s = s * scale
 
     # mask out-of-range kv positions (ragged tail of padded kv)
     if kv_len % block_kv != 0:
@@ -79,12 +101,12 @@ def _flash_kernel(
     m_cur = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # (bq, bkv)
+    p = jnp.exp(s - m_new)  # (bq, bkv) fp32
     l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
 
     pv = jax.lax.dot_general(
-        p,
-        v_ref[0].astype(jnp.float32),
+        p.astype(v_ref.dtype),  # bf16 PV matmul: full MXU rate
+        v_ref[0],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bq, d)
@@ -94,25 +116,23 @@ def _flash_kernel(
 
     @pl.when(kv_idx == num_kv - 1)
     def _finish():
-        o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+        l = l_scratch[:, :1]
+        o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scratch[:, 0] + jnp.log(l[:, 0])).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
-def _flash_attention_bhsd(
+def _flash_fwd_bhsd(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
-    # tuned on v5e at (S=4096, D=64): 32.6 TFLOP/s vs 19.0 at (256, 512) —
-    # wide KV blocks amortize the online-softmax rescale over more MXU work
+    # tuned on v5e at (S=4096, D=64): wide KV blocks amortize the
+    # online-softmax rescale over more MXU work
     block_q: int = 256,
     block_kv: int = 2048,
-) -> jnp.ndarray:
-    """Flash attention over (BH, S, D) tensors; pads S to block multiples."""
+):
+    """Flash forward over (BH, S, D); returns (out [BH,Sq,D], lse [BH,Sq])."""
     bh, sq, d = q.shape
     kv_len = k.shape[1]
     block_q = min(block_q, _round_up(sq, 128))
@@ -127,9 +147,9 @@ def _flash_attention_bhsd(
         v = jnp.pad(v, ((0, 0), (0, skv_p - kv_len), (0, 0)))
 
     grid = (bh, sq_p // block_q, skv_p // block_kv)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv
+            _flash_fwd_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv
         ),
         grid=grid,
         in_specs=[
@@ -137,10 +157,16 @@ def _flash_attention_bhsd(
             pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            # lse carries a singleton middle dim: TPU block tiling requires
+            # the 2nd-to-last block dim to equal the array dim or be 8-aligned
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, sq_p), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -153,7 +179,222 @@ def _flash_attention_bhsd(
         ),
         interpret=_INTERPRET,
     )(q, k, v)
-    return out[:, :sq, :]
+    return out[:, :sq, :], lse[:, :, :sq]
+
+
+# --------------------------------------------------------------------------
+# Backward kernels
+# --------------------------------------------------------------------------
+def _flash_bwd_dkv_kernel(
+    q_ref,
+    do_ref,
+    lse_ref,
+    delta_ref,
+    k_ref,
+    v_ref,
+    dk_ref,
+    dv_ref,
+    dk_scratch,
+    dv_scratch,
+    *,
+    scale: float,
+    kv_len: int,
+    block_kv: int,
+):
+    q_idx = pl.program_id(2)
+    num_q = pl.num_programs(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    k = k_ref[0]  # (bkv, d)
+    v = v_ref[0]
+    q = q_ref[0]  # (bq, d)
+    do = do_ref[0]  # (bq, d)
+    lse = lse_ref[0, 0]  # (bq,) fp32
+    delta = delta_ref[0, 0]  # (bq,) fp32
+
+    # sᵀ = (K Qᵀ)·scale : (bkv, bq) — computed transposed so dV/dK matmuls
+    # contract over q without any in-kernel transposes.
+    st = (
+        jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    if kv_len % block_kv != 0:
+        kv_idx = pl.program_id(1)
+        global_kv = kv_idx * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, st.shape, dimension=0
+        )
+        st = jnp.where(global_kv < kv_len, st, _NEG_INF)
+    pt = jnp.exp(st - lse[None, :])  # (bkv, bq)
+
+    dv_scratch[:] += jax.lax.dot_general(
+        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dpᵀ = V dOᵀ : (bkv, bq)
+    dpt = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dst = pt * (dpt - delta[None, :])  # (bkv, bq) fp32
+    dk_scratch[:] += jax.lax.dot_general(
+        dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_idx == num_q - 1)
+    def _finish():
+        dk_ref[0] = (dk_scratch[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref,
+    do_ref,
+    lse_ref,
+    delta_ref,
+    k_ref,
+    v_ref,
+    dq_ref,
+    dq_scratch,
+    *,
+    scale: float,
+    kv_len: int,
+    block_kv: int,
+):
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    # transposed (bkv, bq) orientation so lse/delta broadcast as row
+    # vectors (lane-dim broadcasts; no sublane relayout)
+    st = (
+        jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # (bkv, bq)
+    if kv_len % block_kv != 0:
+        global_kv = kv_idx * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, st.shape, dimension=0
+        )
+        st = jnp.where(global_kv < kv_len, st, _NEG_INF)
+    pt = jnp.exp(st - lse[None, :])  # (bkv, bq)
+    dpt = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bkv, bq)
+    dst = pt * (dpt - delta[None, :])
+    # dq[q,d] = Σ_kv dsᵀ[kv,q]·k[kv,d] — contract dim 0 of both
+    dq_scratch[:] += jax.lax.dot_general(
+        dst.astype(k.dtype), k, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _finish():
+        dq_ref[0] = (dq_scratch[:] * scale).astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_kv")
+)
+def _flash_bwd_bhsd(
+    q,
+    k,
+    v,
+    o,
+    lse,
+    do,
+    scale: float,
+    # tuned on v5e at (S=4096, D=64): 48 vs 34 TFLOP/s for (256, 512) —
+    # big square blocks keep the MXU fed despite the (bkv, bq) fp32
+    # intermediates (~3×4 MB live per step at 1024²)
+    block_q: int = 1024,
+    block_kv: int = 1024,
+):
+    bh, sq, d = q.shape
+    kv_len = k.shape[1]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_kv = min(block_kv, _round_up(kv_len, 128))
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(kv_len, block_kv)
+
+    # Δ = rowsum(dO ∘ O): cheap fused XLA reduction, fp32; [bh, 1, sq]
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)[:, None, :]
+
+    if sq_p != sq:
+        pad_q = ((0, 0), (0, sq_p - sq), (0, 0))
+        q = jnp.pad(q, pad_q)
+        do = jnp.pad(do, pad_q)
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))
+    if skv_p != kv_len:
+        pad_kv = ((0, 0), (0, skv_p - kv_len), (0, 0))
+        k = jnp.pad(k, pad_kv)
+        v = jnp.pad(v, pad_kv)
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv
+        ),
+        grid=(bh, skv_p // block_kv, sq_p // block_q),
+        in_specs=[q_spec, q_spec, row_spec, row_spec, kv_spec, kv_spec],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, skv_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv_p, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * bh * sq_p * skv_p * d,
+            bytes_accessed=(bh * (2 * sq_p + 4 * skv_p) * d) * q.dtype.itemsize,
+            transcendentals=bh * sq_p * skv_p,
+        ),
+        interpret=_INTERPRET,
+    )(q, do, lse, delta, k, v)
+
+    q_spec2 = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+    row_spec2 = pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv
+        ),
+        grid=(bh, sq_p // block_q, skv_p // block_kv),
+        in_specs=[q_spec2, q_spec2, row_spec2, row_spec2, kv_spec2, kv_spec2],
+        out_specs=q_spec2,
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * bh * sq_p * skv_p * d,
+            bytes_accessed=(bh * (3 * sq_p + 2 * skv_p) * d) * q.dtype.itemsize,
+            transcendentals=bh * sq_p * skv_p,
+        ),
+        interpret=_INTERPRET,
+    )(q, do, lse, delta, k, v)
+
+    return dq[:, :sq], dk[:, :kv_len], dv[:, :kv_len]
 
 
 def _xla_attention(q, k, v, bias, scale):
@@ -167,35 +408,40 @@ def _xla_attention(q, k, v, bias, scale):
 
 
 # --------------------------------------------------------------------------
-# Differentiable wrapper: Pallas forward (memory-light online softmax),
-# XLA-recompute backward (pallas_call has no autodiff rule; the recomputed
-# softmax backward fuses well under XLA and costs the same as the plain
-# einsum path — measured equal on v5e for these shapes).
+# Differentiable wrapper: Pallas forward + Pallas flash backward. The
+# forward saves per-row logsumexp so neither pass materializes the
+# [Sq, Skv] probability matrix (the round-1 recompute backward did, in
+# fp32 — multi-GB per layer at SDXL 1024² shapes).
 # --------------------------------------------------------------------------
+def _to_bhsd(x):
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _from_bhsd(x, b, h):
+    bh, s, d = x.shape
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _pallas_attention_vjp(q, k, v, scale):
-    b, sq, h, d = q.shape
-    qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
-    kt = k.transpose(0, 2, 1, 3).reshape(b * h, k.shape[1], d)
-    vt = v.transpose(0, 2, 1, 3).reshape(b * h, v.shape[1], d)
-    out = _flash_attention_bhsd(qt, kt, vt, scale)
-    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    b, _, h, _ = q.shape
+    out, _ = _flash_fwd_bhsd(_to_bhsd(q), _to_bhsd(k), _to_bhsd(v), scale)
+    return _from_bhsd(out, b, h)
 
 
 def _pallas_attention_fwd(q, k, v, scale):
-    return _pallas_attention_vjp(q, k, v, scale), (q, k, v)
+    b, _, h, _ = q.shape
+    qt, kt, vt = _to_bhsd(q), _to_bhsd(k), _to_bhsd(v)
+    out, lse = _flash_fwd_bhsd(qt, kt, vt, scale)
+    return _from_bhsd(out, b, h), (qt, kt, vt, out, lse)
 
 
 def _pallas_attention_bwd(scale, res, g):
-    q, k, v = res
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    gv = jnp.einsum("bhqk,bqhd->bkhd", p, g.astype(jnp.float32)).astype(v.dtype)
-    gp = jnp.einsum("bqhd,bkhd->bhqk", g.astype(jnp.float32), v.astype(jnp.float32))
-    gs = p * (gp - jnp.sum(gp * p, axis=-1, keepdims=True))
-    gq = (jnp.einsum("bhqk,bkhd->bqhd", gs, k.astype(jnp.float32)) * scale).astype(q.dtype)
-    gk = (jnp.einsum("bhqk,bqhd->bkhd", gs, q.astype(jnp.float32)) * scale).astype(k.dtype)
-    return gq, gk, gv
+    qt, kt, vt, out, lse = res
+    b, _, h, _ = g.shape  # static shape info recovered from the cotangent
+    dq, dk, dv = _flash_bwd_bhsd(qt, kt, vt, out, lse, _to_bhsd(g), scale)
+    return _from_bhsd(dq, b, h), _from_bhsd(dk, b, h), _from_bhsd(dv, b, h)
 
 
 _pallas_attention_vjp.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)

@@ -32,3 +32,35 @@ def test_pallas_vjp_matches_xla_grads():
     gj = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2)))(q, k, v)
     for a, b in zip(gj, gp):
         assert np.allclose(np.array(a), np.array(b), atol=1e-4)
+
+
+def test_flash_bwd_multiblock_accumulation():
+    """dq/dk/dv accumulate correctly across >1 q-block and >1 kv-block,
+    including a ragged (padded+masked) kv tail."""
+    from flash_diffusion_tpu.ops.attention import (
+        _flash_bwd_bhsd,
+        _flash_fwd_bhsd,
+    )
+
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(1), 4)
+    bh, sq, skv, d = 2, 384, 320, 32  # 3 q-blocks / 3 kv-blocks at 128
+    q = jax.random.normal(kq, (bh, sq, d))
+    k = jax.random.normal(kk, (bh, skv, d))
+    v = jax.random.normal(kv, (bh, skv, d))
+    do = jax.random.normal(kg, (bh, sq, d))
+    scale = d**-0.5
+
+    out, lse = _flash_fwd_bhsd(q, k, v, scale, block_q=128, block_kv=128)
+    dq, dk, dv = _flash_bwd_bhsd(
+        q, k, v, out, lse, do, scale, block_q=128, block_kv=128
+    )
+
+    def ref_loss(q, k, v):
+        s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v) * do)
+
+    rq, rk, rv = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in [(dq, rq, "dq"), (dk, rk, "dk"), (dv, rv, "dv")]:
+        err = np.abs(np.array(a) - np.array(b)).max()
+        assert err < 2e-2, (name, err)
