@@ -44,15 +44,16 @@ def main():
     setup_logging(args.output_dir)
     root = args.weights_root or cfg.get("WEIGHTS_ROOT", "")
 
-    dit_cfg = pixart_config(num_vector_embeds=2)  # resolution + aspect ratio
+    dit_cfg = pixart_config(num_vector_embeds=3)  # height, width, aspect ratio
     dit = DiT(dit_cfg, dtype=jnp.bfloat16)
     vae_cfg = sd_vae_config()
     vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
     t5 = T5TextEmbedder(
         T5TextEmbedderConfig(input_key="text", max_length=cfg.get("T5_MAX_LENGTH", 120))
     )
-    # resolution/aspect-ratio scalars pass through; the DiT embeds them in
-    # its AdaLayerNormSingle (num_vector_embeds=2)
+    # (height, width, aspect_ratio) scalars pass through; the DiT embeds
+    # them in its concat-style AdaLayerNormSingle (num_vector_embeds=3,
+    # reference examples/train_flash_pixart.py:85-86 num_vector_conditionings=3)
     res_ar = RawVectorEmbedder(RawVectorEmbedderConfig(input_key="resolution_ar"))
     conditioner = ConditionerWrapper([t5, res_ar])
     disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=3))
@@ -64,7 +65,7 @@ def main():
         "cond": {
             "crossattn": jnp.zeros((1, 120, 4096)),
             "attention_mask": jnp.ones((1, 120), jnp.int32),
-            "vector": jnp.zeros((1, 2)),
+            "vector": jnp.zeros((1, 3)),
         }
     }
     teacher_params = maybe_import(
@@ -153,7 +154,7 @@ def main():
             n = b["image"].shape[0]
             b.update(tokenize(b["text"]))
             # Pixart micro-conditioning: resolution + aspect ratio
-            b["resolution_ar"] = np.tile([float(size), 1.0], (n, 1)).astype(np.float32)
+            b["resolution_ar"] = np.tile([float(size), float(size), 1.0], (n, 1)).astype(np.float32)
             yield b
 
     callbacks = [

@@ -78,12 +78,21 @@ def get_2d_sincos_pos_embed(dim: int, h: int, w: int, base_size: int = 64) -> np
 class AdaLayerNormSingle(nn.Module):
     """Shared timestep (+ extra scalar conditionings) → (6·dim, embedded_t).
 
-    Re-derivation of the reference's custom AdaLayerNormSingle
-    (src/flash/models/transformers/utils.py:8-102): base sinusoidal(256) →
-    MLP(dim); each extra conditioning column gets its own sinusoidal + MLP
-    whose outputs are *summed* into the base embedding (concat-then-project
-    in the reference; summing keeps the modulation dim fixed — the projection
-    is folded into the per-vector MLPs).
+    Re-derivation of the reference's custom concat-style AdaLayerNormSingle
+    (src/flash/models/transformers/utils.py:62-102): base sinusoidal(256) →
+    MLP(dim); the vector conditioning is chunked into ``num_vector_embeds``
+    pieces, each run through its OWN width-``dim // num_vector_embeds``
+    embedding MLP, the outputs **concatenated** to width ``dim`` and added
+    to the base embedding. For Pixart-1024-MS the three chunks are
+    (height, width, aspect_ratio) and the stock diffusers checkpoint's
+    resolution/aspect embedders (width dim//3 = 384) drop straight into
+    chunks 0/1 (both = resolution_embedder) and 2 (aspect_ratio_embedder)
+    — mirroring the reference surgery
+    (examples/train_flash_pixart.py:88-172).
+
+    ``vector`` may be [B, n] raw scalars (sinusoidally embedded here, the
+    usual model-level contract) or [B, n·vector_embed_dim] pre-embedded
+    conditioner output (reference TimestepsEmbedder wiring).
     """
 
     hidden_size: int
@@ -97,12 +106,32 @@ class AdaLayerNormSingle(nn.Module):
         emb = TimestepEmbedMLP(self.hidden_size, dtype=self.dtype, name="timestep_embedder")(
             emb.astype(self.dtype)
         )
-        if self.num_vector_embeds and vector is not None:
-            for i in range(self.num_vector_embeds):
-                v = timestep_embedding(vector[:, i], self.vector_embed_dim)
-                emb = emb + TimestepEmbedMLP(
-                    self.hidden_size, dtype=self.dtype, name=f"vector_embedder_{i}"
-                )(v.astype(self.dtype))
+        n = self.num_vector_embeds
+        if n and vector is not None:
+            if self.hidden_size % n:
+                raise ValueError(
+                    f"hidden_size {self.hidden_size} not divisible by "
+                    f"num_vector_embeds {n} (reference concat semantics)"
+                )
+            if vector.shape[-1] == n:  # raw scalars → sinusoidal per column
+                chunks = [
+                    timestep_embedding(vector[:, i], self.vector_embed_dim)
+                    for i in range(n)
+                ]
+            else:  # pre-embedded [B, n·in_dim] (torch.chunk semantics)
+                chunks = jnp.split(vector, n, axis=-1)
+            add = jnp.concatenate(
+                [
+                    TimestepEmbedMLP(
+                        self.hidden_size // n,
+                        dtype=self.dtype,
+                        name=f"vector_embedder_{i}",
+                    )(c.astype(self.dtype))
+                    for i, c in enumerate(chunks)
+                ],
+                axis=-1,
+            )
+            emb = emb + add
         mod = nn.Dense(6 * self.hidden_size, dtype=self.dtype, name="linear")(nn.silu(emb))
         return mod, emb
 

@@ -355,9 +355,16 @@ def import_pixart_dit(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
         },
         "linear": _lin(sd, "adaln_single.linear"),
     }
+    # Micro-conditioned (1024-MS) checkpoints: stock diffusers embeds
+    # resolution=(h, w) through ONE width-dim//3 embedder (reshaped to
+    # 2·dim//3) plus aspect_ratio through another. Our concat-style
+    # AdaLayerNormSingle uses 3 per-chunk MLPs — chunks 0/1 (h, w) both
+    # take the resolution embedder's weights, chunk 2 the aspect-ratio's
+    # (the reference's own surgery: examples/train_flash_pixart.py:88-172).
     extra = {
         0: "adaln_single.emb.resolution_embedder",
-        1: "adaln_single.emb.aspect_ratio_embedder",
+        1: "adaln_single.emb.resolution_embedder",
+        2: "adaln_single.emb.aspect_ratio_embedder",
     }
     for i, key in extra.items():
         if f"{key}.linear_1.weight" in sd:
