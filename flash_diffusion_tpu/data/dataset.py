@@ -42,6 +42,11 @@ class DataModuleConfig(BaseConfig):
     shards_path_or_urls: List[str] = field(default_factory=list)
     per_worker_batch_size: int = 4
     num_workers: int = 2
+    # thread: GIL-sharing workers (tar IO + PIL decode release the GIL some
+    # of the time). process: fork()ed decode workers — one Python per core,
+    # the right backend when the jpeg-decode+resize chain is CPU-bound
+    # (SURVEY §7 hard part #6; ~117 ms/img at 1024² per core measured).
+    worker_backend: str = "thread"  # thread | process
     shuffle_buffer_size: int = 100
     shuffle_shards: bool = True
     decoder: str = "pil"  # pil | raw
@@ -72,6 +77,42 @@ def _decode_member(name: str, data: bytes, decoder: str) -> Any:
     return data
 
 
+def _open_shard(spec: str):
+    """Open a shard spec as a streaming byte source (webdataset URL/pipe
+    semantics — reference data/datasets/dataset.py:75-96 accepts local
+    paths, URLs, and ``pipe:`` commands via wds gopen):
+
+    - ``pipe:CMD ...``  → stdout of the shell command,
+    - ``http(s)://``    → streamed urllib response,
+    - ``gs:// / s3://`` → ``gsutil cat`` / ``aws s3 cp - `` subprocess pipes,
+    - ``file://`` or a plain path → local file.
+
+    Returns (fileobj, closer)."""
+    if spec.startswith("pipe:"):
+        import shlex
+        import subprocess
+
+        proc = subprocess.Popen(
+            shlex.split(spec[len("pipe:") :]),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+        return proc.stdout, lambda: (proc.stdout.close(), proc.wait())
+    if spec.startswith(("http://", "https://")):
+        import urllib.request
+
+        resp = urllib.request.urlopen(spec, timeout=60)
+        return resp, resp.close
+    if spec.startswith("gs://"):
+        return _open_shard(f"pipe:gsutil cat {spec}")
+    if spec.startswith("s3://"):
+        return _open_shard(f"pipe:aws s3 cp {spec} -")
+    if spec.startswith("file://"):
+        spec = spec[len("file://") :]
+    f = open(spec, "rb")
+    return f, f.close
+
+
 def iter_tar_samples(
     path: str,
     decoder: str = "pil",
@@ -80,40 +121,54 @@ def iter_tar_samples(
     """Group tar members by filename stem into sample dicts keyed by
     extension (webdataset convention: 000123.jpg + 000123.json → one
     sample with keys jpg/json). ``rename_files`` maps extensions before
-    grouping (rename_files_fn analog)."""
+    grouping (rename_files_fn analog). ``path`` may be a local path, a
+    URL, or a ``pipe:`` command (see :func:`_open_shard`)."""
+    closer = None
     try:
-        tf = tarfile.open(path, mode="r|*")
+        fileobj, closer = _open_shard(path)
+        tf = tarfile.open(fileobj=fileobj, mode="r|*")
     except Exception as e:  # warn_and_continue
         logger.warning("skipping shard %s: %s", path, e)
+        if closer is not None:
+            try:
+                closer()
+            except Exception:
+                pass
         return
     current_key, sample = None, {}
-    with tf:
-        for member in tf:
-            if not member.isfile():
-                continue
-            name = member.name
-            if rename_files:
-                stem0, _, ext0 = name.partition(".")
-                if ext0 in rename_files:
-                    name = f"{stem0}.{rename_files[ext0]}"
-            if "." not in name:
-                continue
-            stem, ext = name.split(".", 1)
-            try:
-                data = tf.extractfile(member).read()
-                value = _decode_member(name, data, decoder)
-            except Exception as e:  # warn_and_continue
-                logger.warning("skipping member %s in %s: %s", name, path, e)
-                continue
-            if stem != current_key:
-                if sample:
-                    sample["__key__"] = current_key
-                    yield sample
-                current_key, sample = stem, {}
-            sample[ext.lower()] = value
+    try:
+        with tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                name = member.name
+                if rename_files:
+                    stem0, _, ext0 = name.partition(".")
+                    if ext0 in rename_files:
+                        name = f"{stem0}.{rename_files[ext0]}"
+                if "." not in name:
+                    continue
+                stem, ext = name.split(".", 1)
+                try:
+                    data = tf.extractfile(member).read()
+                    value = _decode_member(name, data, decoder)
+                except Exception as e:  # warn_and_continue
+                    logger.warning("skipping member %s in %s: %s", name, path, e)
+                    continue
+                if stem != current_key:
+                    if sample:
+                        sample["__key__"] = current_key
+                        yield sample
+                    current_key, sample = stem, {}
+                sample[ext.lower()] = value
         if sample:
             sample["__key__"] = current_key
             yield sample
+    finally:
+        try:
+            closer()
+        except Exception:
+            pass
 
 
 class DataPipeline:
@@ -154,37 +209,50 @@ class DataPipeline:
                 sample = result
         return sample
 
+    def _worker_loop(self, shards, out_q):
+        cfg = self.config
+        for shard in shards:
+            for sample in iter_tar_samples(shard, cfg.decoder, cfg.rename_files):
+                try:
+                    mapped = self._apply(sample)
+                except Exception as e:  # warn_and_continue
+                    logger.warning("mapper error on %s: %s", sample.get("__key__"), e)
+                    continue
+                if mapped is not None:
+                    out_q.put(mapped)
+        out_q.put(None)
+
     def samples(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
-        """Decoded, filtered, mapped samples with a shuffle buffer;
-        worker threads fan out over shards (split_by_worker analog)."""
+        """Decoded, filtered, mapped samples with a shuffle buffer; workers
+        fan out over shards (split_by_worker analog). Backend "thread"
+        shares the GIL (fine when tar IO dominates); "process" fork()s one
+        decoder per worker — fork inheritance means filters/mappers need not
+        pickle — and is the scaling path on multi-core TPU hosts."""
         cfg = self.config
         shards = self._host_shards(epoch)
         if not shards:
             return
-        out_q: "queue.Queue" = queue.Queue(maxsize=max(2 * cfg.per_worker_batch_size, 16))
-        shard_q: "queue.Queue" = queue.Queue()
-        for s in shards:
-            shard_q.put(s)
         n_workers = max(1, min(cfg.num_workers, len(shards)))
 
-        def worker():
-            while True:
-                try:
-                    shard = shard_q.get_nowait()
-                except queue.Empty:
-                    break
-                for sample in iter_tar_samples(shard, cfg.decoder, cfg.rename_files):
-                    try:
-                        mapped = self._apply(sample)
-                    except Exception as e:  # warn_and_continue
-                        logger.warning("mapper error on %s: %s", sample.get("__key__"), e)
-                        continue
-                    if mapped is not None:
-                        out_q.put(mapped)
-            out_q.put(None)
+        # split_by_worker analog: worker i owns shards[i::n]
+        splits = [shards[i::n_workers] for i in range(n_workers)]
+        if cfg.worker_backend == "process":
+            import multiprocessing as mp
 
-        threads = [threading.Thread(target=worker, daemon=True) for _ in range(n_workers)]
-        for t in threads:
+            ctx = mp.get_context("fork")
+            out_q = ctx.Queue(maxsize=max(2 * cfg.per_worker_batch_size, 16))
+            workers = [
+                ctx.Process(target=self._worker_loop, args=(sp, out_q), daemon=True)
+                for sp in splits
+            ]
+        else:
+            out_q = queue.Queue(maxsize=max(2 * cfg.per_worker_batch_size, 16))
+            workers = [
+                threading.Thread(target=self._worker_loop, args=(sp, out_q), daemon=True)
+                for sp in splits
+            ]
+
+        for t in workers:
             t.start()
 
         rng = random.Random(cfg.seed + epoch + 1)
