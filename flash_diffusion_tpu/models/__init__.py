@@ -1,5 +1,7 @@
 from .adapters import T2IAdapter, T2IAdapterConfig
+from .depth import DPTDepth, import_dpt_large, make_depth_fn
 from .dit import DiT, DiTConfig, pixart_config
+from .inception import InceptionV3Pool3, import_inception_v3, load_inception_v3
 from .mmdit import MMDiT, MMDiTConfig, sd3_medium_config
 from .text_encoders import (
     CLIPTextConfig,
@@ -40,6 +42,12 @@ __all__ = [
     "sd15_unet_config",
     "sd3_medium_config",
     "sd3_vae_config",
+    "DPTDepth",
+    "InceptionV3Pool3",
+    "import_dpt_large",
+    "import_inception_v3",
+    "load_inception_v3",
+    "make_depth_fn",
     "sd_vae_config",
     "sdxl_unet_config",
     "t5_xxl_config",

@@ -152,7 +152,11 @@ class FlashPipeline:
         default: 4 steps, guidance 0 (no CFG doubling)."""
         if isinstance(prompts, dict):
             batch_inputs = prompts
-            batch = next(iter(prompts.values())).shape[0]
+            batch = next(
+                len(v) if isinstance(v, (list, tuple)) else v.shape[0]
+                for v in prompts.values()
+                if isinstance(v, (list, tuple)) or hasattr(v, "shape")
+            )
         else:
             assert self.tokenizer_fn is not None, "tokenizer_fn required for str prompts"
             batch_inputs = dict(self.tokenizer_fn(list(prompts)))
