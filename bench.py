@@ -33,6 +33,51 @@ def _zeros_bf16(tree):
     )
 
 
+def _import_real_weights(model_name, net, vae, weights_root, net_init, vae_init):
+    """Real-weights smoke: when --weights-root holds HF checkpoints for the
+    family, import denoiser + VAE weights (bf16-cast) instead of zeros so
+    the bench doubles as an on-device numeric sanity run (finite outputs in
+    bf16 with real weight distributions)."""
+    import os
+
+    from flash_diffusion_tpu.utils.hf import (
+        import_sd3_mmdit,
+        import_pixart_dit,
+        import_unet,
+        import_vae,
+        load_torch_state_dict,
+    )
+
+    subdirs = {
+        "sdxl": ("unet", import_unet),
+        "sd15": ("unet", import_unet),
+        "pixart": ("transformer", import_pixart_dit),
+        "sd3": ("transformer", import_sd3_mmdit),
+    }
+    sub, importer = subdirs[model_name]
+    net_params, vae_params = net_init, vae_init
+    loaded = []
+    for name, subdir, imp, cfg, cast in (
+        ("net", sub, importer, net.config, True),
+        ("vae", "vae", import_vae, vae.config, True),
+    ):
+        path = os.path.join(weights_root, subdir, "diffusion_pytorch_model.safetensors")
+        if os.path.exists(path):
+            params = imp(load_torch_state_dict(path), cfg)
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.bfloat16)
+                if jnp.asarray(a).dtype == jnp.float32
+                else jnp.asarray(a),
+                params,
+            )
+            if name == "net":
+                net_params = params
+            else:
+                vae_params = params
+            loaded.append(name)
+    return net_params, vae_params, loaded
+
+
 def build(model_name: str, batch: int):
     from flash_diffusion_tpu.models import (
         AutoencoderKL,
@@ -101,9 +146,12 @@ def build(model_name: str, batch: int):
 
 
 def bench_train(args):
-    """Distillation train-step time: Flash-SD (SD1.5 512², K=32 teacher
-    rollout, DMD + hinge GAN, LoRA rank 64) — the north-star 'distill step
-    time' metric."""
+    """Distillation train-step time (the north-star 'distill step time'
+    metric): K-step teacher rollout + DMD + hinge GAN, LoRA rank 64.
+    ``--model sd15`` (512², batch 4 default — the reference's CPU-runnable
+    flagship config) or ``--model sdxl`` (1024², batch 2 default — possible
+    on one chip because the flash-attention backward never materializes the
+    [S,S] probability matrix)."""
     from flash_diffusion_tpu.distill import (
         ConvDiscriminator,
         DiscriminatorConfig,
@@ -111,19 +159,37 @@ def bench_train(args):
         FlashDiffusionConfig,
     )
     from flash_diffusion_tpu.lora import init_lora, lora_scaling
-    from flash_diffusion_tpu.models import UNet2DCondition, sd15_unet_config
+    from flash_diffusion_tpu.models import (
+        UNet2DCondition,
+        sd15_unet_config,
+        sdxl_unet_config,
+    )
     from flash_diffusion_tpu.trainer import TrainingConfig, TrainingPipeline
 
-    batch = args.batch or 4
     dtype = jnp.bfloat16
-    unet = UNet2DCondition(sd15_unet_config(remat=True), dtype=dtype)
     rng = jax.random.PRNGKey(0)
-    lat = jax.random.normal(rng, (batch, 64, 64, 4))
+    if args.model == "sdxl":
+        batch = args.batch or 2
+        unet = UNet2DCondition(sdxl_unet_config(remat=True), dtype=dtype)
+        lat_hw, res = 128, 1024
+        cond = {
+            "cond": {
+                "crossattn": jnp.zeros((batch, 77, 2048), dtype),
+                "vector": jnp.zeros((batch, 2816), dtype),
+            }
+        }
+        mid_hw = lat_hw // 4  # two downsamples, mid block at 1280ch
+    else:
+        batch = args.batch or 4
+        unet = UNet2DCondition(sd15_unet_config(remat=True), dtype=dtype)
+        lat_hw, res = 64, 512
+        cond = {"cond": {"crossattn": jnp.zeros((batch, 77, 768), dtype)}}
+        mid_hw = lat_hw // 8
+    lat = jax.random.normal(rng, (batch, lat_hw, lat_hw, 4))
     t0 = jnp.zeros((batch,), jnp.int32)
-    cond = {"cond": {"crossattn": jnp.zeros((batch, 77, 768), dtype)}}
     teacher = _zeros_bf16(jax.eval_shape(lambda: unet.init(rng, lat, t0, cond)))
     disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=1))
-    disc_params = disc.init(rng, jnp.zeros((batch, 8, 8, 1280)))
+    disc_params = disc.init(rng, jnp.zeros((batch, mid_hw, mid_hw, 1280)))
     lora = init_lora(teacher, rank=64, rng=rng)
 
     class FixedCond:
@@ -165,7 +231,7 @@ def bench_train(args):
     print(
         json.dumps(
             {
-                "metric": f"sd15_512px_K{args.k}_distill_step_time",
+                "metric": f"{args.model}_{res}px_K{args.k}_distill_step_time",
                 "value": round(dt, 4),
                 "unit": "sec/step",
                 "vs_baseline": 1.0,
@@ -186,9 +252,24 @@ def main():
     # measured on v5e: chunk 1 (per-image) beats chunk 4 (2.64s vs 3.24s per
     # batch-8 iteration) — larger decode chunks raise HBM pressure
     ap.add_argument("--decode-chunk", type=int, default=1, help="images per VAE decode call")
+    ap.add_argument(
+        "--weights-root",
+        default=None,
+        help="HF checkpoint dir (unet|transformer/ + vae/ safetensors); "
+        "imports real weights and asserts finite bf16 outputs",
+    )
     ap.add_argument("--train", action="store_true", help="bench the distill train step")
     ap.add_argument("--k", type=int, default=32, help="teacher rollout steps (--train)")
+    ap.add_argument(
+        "--input-pipeline",
+        action="store_true",
+        help="bench the host data pipeline (synthetic 1024px jpg shards)",
+    )
+    ap.add_argument("--num-workers", type=int, default=0, help="(--input-pipeline) 0 = one per CPU core")
+    ap.add_argument("--worker-backend", default="thread", choices=["thread", "process"])
     args = ap.parse_args()
+    if args.input_pipeline:
+        return bench_input_pipeline(args)
     if args.train:
         return bench_train(args)
 
@@ -207,6 +288,11 @@ def main():
     for batch in candidates:
         try:
             net, up, vae, vp, latents, cond, res = build(args.model, batch)
+            loaded_weights = []
+            if args.weights_root:
+                up, vp, loaded_weights = _import_real_weights(
+                    args.model, net, vae, args.weights_root, up, vp
+                )
 
             @jax.jit
             def sample(up, vp, z, key):
@@ -236,6 +322,12 @@ def main():
             key = jax.random.PRNGKey(1)
             out = sample(up, vp, latents, key)
             jax.block_until_ready(out)  # compile + warmup
+            if loaded_weights:
+                import numpy as _np
+
+                assert _np.all(_np.isfinite(_np.asarray(out, _np.float32))), (
+                    "non-finite outputs with real weights (bf16 overflow?)"
+                )
             t0 = time.perf_counter()
             z = latents
             for i in range(args.iters):
@@ -253,6 +345,7 @@ def main():
                         "vs_baseline": 1.0,
                         "batch": batch,
                         "step_time_s": round(dt, 4),
+                        "real_weights": loaded_weights,
                         "backend": jax.default_backend(),
                     }
                 )
@@ -262,6 +355,118 @@ def main():
             last_err = e
             continue
     raise SystemExit(f"bench failed at all batch sizes: {last_err}")
+
+
+def bench_input_pipeline(args):
+    """Host pipeline throughput: synthetic 1024² jpg tar shards through the
+    SDXL-style mapper chain (json-caption extract, rename, resize/crop/
+    to-tensor, rescale). The device consumes ≈3 img/s/chip at the SDXL
+    headline rate — the host must beat N_chips× that (SURVEY §7 hard
+    part #6)."""
+    import io
+    import json as _json
+    import tarfile
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from flash_diffusion_tpu.data import (
+        DataModuleConfig,
+        DataPipeline,
+        ImageTransformMapper,
+        ImageTransformMapperConfig,
+        KeyRenameMapper,
+        KeyRenameMapperConfig,
+        KeysFromJSONMapper,
+        KeysFromJSONMapperConfig,
+        MapperWrapper,
+        RescaleMapper,
+        RescaleMapperConfig,
+    )
+
+    import os as _os2
+
+    if args.num_workers <= 0:
+        # one worker per core; on a 1-core box extra workers only add GIL
+        # contention (measured: 38.5 img/s at 1 worker vs 21.0 at 8)
+        args.num_workers = _os2.cpu_count() or 1
+    res = 1024
+    per_shard, n_shards = 64, max(4, args.num_workers)
+    root = tempfile.mkdtemp(prefix="bench_shards_")
+    rng = np.random.default_rng(0)
+    base = (rng.random((res, res, 3)) * 255).astype(np.uint8)
+    shards = []
+    idx = 0
+    for s in range(n_shards):
+        path = f"{root}/{s:06d}.tar"
+        with tarfile.open(path, "w") as tf:
+            for _ in range(per_shard):
+                img = Image.fromarray(np.roll(base, idx, axis=0))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG", quality=90)
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{idx:06d}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                meta = _json.dumps({"caption": f"sample {idx}"}).encode()
+                info = tarfile.TarInfo(f"{idx:06d}.json")
+                info.size = len(meta)
+                tf.addfile(info, io.BytesIO(meta))
+                idx += 1
+        shards.append(path)
+
+    chain = [
+        MapperWrapper(
+            [
+                KeysFromJSONMapper(
+                    KeysFromJSONMapperConfig(
+                        key="json", keys_to_extract=["caption"], remove_original=True,
+                        strict=False,
+                    )
+                ),
+                KeyRenameMapper(KeyRenameMapperConfig(key_map={"jpg": "image", "caption": "text"})),
+                ImageTransformMapper(
+                    ImageTransformMapperConfig(
+                        key="image",
+                        transforms=[
+                            {"name": "Resize", "size": [res, res]},
+                            {"name": "CenterCrop", "size": [res, res]},
+                            {"name": "ToTensor"},
+                        ],
+                    )
+                ),
+                RescaleMapper(RescaleMapperConfig(key="image")),
+            ]
+        )
+    ]
+    cfg = DataModuleConfig(
+        shards_path_or_urls=shards, per_worker_batch_size=8,
+        num_workers=args.num_workers, shuffle_buffer_size=16,
+        worker_backend=args.worker_backend,
+    )
+    pipe = DataPipeline(cfg, chain)
+    # warmup one batch (thread spin-up), then time a full epoch
+    it = pipe.batches(epoch=0)
+    next(it)
+    t0 = time.perf_counter()
+    n_imgs = sum(b["image"].shape[0] for b in it)
+    dt = time.perf_counter() - t0
+    rate = n_imgs / dt
+    device_rate = 3.0  # SDXL 1024² 4-NFE img/s/chip (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": f"input_pipeline_{res}px_images_per_sec_per_host",
+                "value": round(rate, 2),
+                "unit": "images/sec/host",
+                "vs_baseline": 1.0,
+                "num_workers": args.num_workers,
+                "worker_backend": args.worker_backend,
+                "chips_fed_at_sdxl_rate": round(rate / device_rate, 1),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -77,6 +77,25 @@ def _decode_member(name: str, data: bytes, decoder: str) -> Any:
     return data
 
 
+def expand_shards(specs: Sequence[str]) -> List[str]:
+    """webdataset-style brace expansion: ``path/{00000..00042}.tar`` →
+    43 zero-padded shard specs (wds SimpleShardList uses braceexpand;
+    recursion handles multiple ranges)."""
+    import re
+
+    out: List[str] = []
+    for s in specs:
+        m = re.search(r"\{(\d+)\.\.(\d+)\}", s)
+        if not m:
+            out.append(s)
+            continue
+        width = len(m.group(1))
+        lo, hi = int(m.group(1)), int(m.group(2))
+        for i in range(lo, hi + 1):
+            out.extend(expand_shards([s[: m.start()] + str(i).zfill(width) + s[m.end() :]]))
+    return out
+
+
 def _open_shard(spec: str):
     """Open a shard spec as a streaming byte source (webdataset URL/pipe
     semantics — reference data/datasets/dataset.py:75-96 accepts local
@@ -194,7 +213,7 @@ class DataPipeline:
         self.process_count = process_count or 1
 
     def _host_shards(self, epoch: int) -> List[str]:
-        shards = list(self.config.shards_path_or_urls)
+        shards = expand_shards(self.config.shards_path_or_urls)
         if self.config.shuffle_shards:
             random.Random(self.config.seed + epoch).shuffle(shards)
         # split_by_node analog

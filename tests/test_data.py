@@ -229,3 +229,13 @@ def test_process_worker_backend(shards):
     keys_t = sorted(s["__key__"] for s in DataPipeline(cfg_t).samples(0))
     keys_p = sorted(s["__key__"] for s in DataPipeline(cfg_p).samples(0))
     assert keys_p == keys_t and len(keys_p) == 12
+
+
+def test_brace_expansion():
+    from flash_diffusion_tpu.data.dataset import expand_shards
+
+    out = expand_shards(["s/{00000..00002}.tar", "plain.tar"])
+    assert out == ["s/00000.tar", "s/00001.tar", "s/00002.tar", "plain.tar"]
+    # nested ranges expand recursively
+    out = expand_shards(["{0..1}/{00..01}.tar"])
+    assert out == ["0/00.tar", "0/01.tar", "1/00.tar", "1/01.tar"]

@@ -66,3 +66,34 @@ def test_mmdit_tp_matches_replicated():
     xs = jax.device_put(x, batch_sharding(mesh))
     out = jax.jit(lambda p, x: mmdit.apply(p, x, t, cond))(tp_params, xs)
     assert np.allclose(np.array(out), np.array(ref), atol=1e-4)
+
+
+def test_dit_tp_matches_replicated():
+    """Pixart DiT under Megatron column/row placement == replicated."""
+    from flash_diffusion_tpu.models import DiT, DiTConfig
+
+    mesh = create_mesh(axes=("data", "model"), shape=(4, 2))
+    dit = DiT(
+        DiTConfig(
+            hidden_size=32, depth=2, num_heads=2, caption_channels=16,
+            num_vector_embeds=2, vector_embed_dim=16, sample_size=8,
+        )
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 4))
+    t = jnp.array([10, 20, 30, 40])
+    cond = {
+        "cond": {
+            "crossattn": jax.random.normal(jax.random.PRNGKey(1), (4, 6, 16)),
+            "vector": jnp.array([[512.0, 1.0]] * 4),
+        }
+    }
+    params = dit.init(jax.random.PRNGKey(2), x, t, cond)
+    ref = dit.apply(params, x, t, cond)
+
+    tp_params = shard_params_tp(params, mesh)
+    counts = tp_sharding_summary(params, mesh)
+    assert counts["column"] > 0 and counts["row"] > 0, counts
+
+    xs = jax.device_put(x, batch_sharding(mesh))
+    out = jax.jit(lambda p, x: dit.apply(p, x, t, cond))(tp_params, xs)
+    assert np.allclose(np.array(out), np.array(ref), atol=1e-4)
