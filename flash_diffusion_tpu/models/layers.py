@@ -181,7 +181,8 @@ class GEGLUFeedForward(nn.Module):
         inner = dim * self.mult
         x = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         x, gate = jnp.split(x, 2, axis=-1)
-        x = x * nn.gelu(gate)
+        # diffusers GEGLU gates with EXACT gelu (F.gelu default), not tanh
+        x = x * nn.gelu(gate, approximate=False)
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(x)
 
 
