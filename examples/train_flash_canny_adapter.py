@@ -146,10 +146,11 @@ def main():
     state = pipeline.fit(batches(), callbacks=callbacks, max_steps=args.max_steps)
 
     from flash_diffusion_tpu.lora import save_peft_safetensors
+    from flash_diffusion_tpu.trainer import export_lora
     from flash_diffusion_tpu.utils.hf import unet_lora_name_map
 
     out = os.path.join(args.output_dir, "pytorch_lora_weights.safetensors")
-    save_peft_safetensors(out, jax.device_get(state.lora), unet_lora_name_map(unet_cfg), prefix="unet")
+    save_peft_safetensors(out, jax.device_get(export_lora(state)), unet_lora_name_map(unet_cfg), prefix="unet")
     print("saved", out)
 
 

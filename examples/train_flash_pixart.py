@@ -164,9 +164,10 @@ def main():
     state = pipeline.fit(batches(), callbacks=callbacks, max_steps=args.max_steps)
 
     from flash_diffusion_tpu.lora import save_peft_safetensors
+    from flash_diffusion_tpu.trainer import export_lora
 
     out = os.path.join(args.output_dir, "pytorch_lora_weights.safetensors")
-    save_peft_safetensors(out, jax.device_get(state.lora), prefix="transformer")
+    save_peft_safetensors(out, jax.device_get(export_lora(state)), prefix="transformer")
     print("saved", out)
 
 

@@ -142,13 +142,15 @@ def main():
         learning_rates=[float(cfg["LR"]), float(cfg.get("LR_DISCRIMINATOR", cfg["LR"]))],
         checkpoint_every_n_steps=cfg.get("CKPT_EVERY_N_STEPS", 5000),
         checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
+        ema_decay=cfg.get("EMA_DECAY"),
+        val_every_n_steps=cfg.get("VAL_EVERY_N_STEPS"),
     )
     pipeline = TrainingPipeline(model, train_cfg, frozen, lora, disc_params)
 
     data = build_data(cfg)
 
     # Host-side tokenization: plug a local CLIP tokenizer when available.
-    def batches():
+    def batches(source=None):
         try:
             tok_dir = os.path.join(root, "tokenizer")
             if not os.path.isdir(tok_dir):
@@ -165,22 +167,32 @@ def main():
                 import numpy as np
 
                 return {"text_ids": np.zeros((len(texts), 77), np.int32)}
-        for b in data:
+        for b in (data if source is None else source):
             b.update(tokenize(b["text"]))
             yield b
+
+    eval_data = None
+    if cfg.get("EVAL_SHARDS_PATH_OR_URLS"):
+        eval_pipe = build_data(
+            {**cfg, "SHARDS_PATH_OR_URLS": cfg["EVAL_SHARDS_PATH_OR_URLS"]}
+        )
+
+        def eval_data():  # fresh iterator per validation pass
+            return batches(eval_pipe.batches(epoch=0))
 
     callbacks = [
         MetricLogger(every_n_steps=train_cfg.log_every_n_steps),
         CheckpointCallback(train_cfg.checkpoint_dir, train_cfg.checkpoint_every_n_steps),
     ]
-    state = pipeline.fit(batches(), callbacks=callbacks, max_steps=args.max_steps)
+    state = pipeline.fit(batches(), callbacks=callbacks, max_steps=args.max_steps, eval_data=eval_data)
 
     # export the LoRA student in PEFT format (loadable by HF diffusers)
     from flash_diffusion_tpu.lora import save_peft_safetensors
+    from flash_diffusion_tpu.trainer import export_lora
     from flash_diffusion_tpu.utils.hf import unet_lora_name_map
 
     out = os.path.join(args.output_dir, "pytorch_lora_weights.safetensors")
-    save_peft_safetensors(out, jax.device_get(state.lora), unet_lora_name_map(unet_cfg), prefix="unet")
+    save_peft_safetensors(out, jax.device_get(export_lora(state)), unet_lora_name_map(unet_cfg), prefix="unet")
     print("saved", out)
 
 

@@ -1,6 +1,6 @@
 from .checkpoint import adapt_state_dict, rename_keys, restore_state, save_state
 from .loggers import CheckpointCallback, MetricLogger, SampleLogger, make_grid
-from .trainer import TrainingPipeline, TrainState
+from .trainer import TrainingPipeline, TrainState, export_lora
 from .training_config import TrainingConfig
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "TrainingConfig",
     "TrainingPipeline",
     "adapt_state_dict",
+    "export_lora",
     "make_grid",
     "rename_keys",
     "restore_state",

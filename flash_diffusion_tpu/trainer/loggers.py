@@ -66,6 +66,7 @@ class SampleLogger:
         guidance_scale: float = 1.0,
         log_teacher_samples: bool = False,
         use_wandb: Optional[bool] = None,
+        use_ema: bool = True,  # sample the EMA student when it exists
     ):
         self.batch_provider = batch_provider
         self.input_shape = tuple(input_shape)
@@ -75,14 +76,36 @@ class SampleLogger:
         self.guidance_scale = guidance_scale
         self.log_teacher_samples = log_teacher_samples
         self.use_wandb = _HAS_WANDB if use_wandb is None else use_wandb
+        self.use_ema = use_ema
 
     def __call__(self, pipeline, state, aux, step: int) -> None:
         if step % self.every_n_steps or jax.process_index() != 0:
             return
         batch = self.batch_provider()
+        lora = state.lora
+        if self.use_ema and jax.tree_util.tree_leaves(getattr(state, "ema", ())):
+            lora = state.ema
+        step_dir = os.path.join(self.out_dir, f"step{step:08d}")
+        # input-image echo + caption table (reference trainer/trainer.py:
+        # 227-251 logs the model input and text keys alongside the samples)
+        if hasattr(batch.get("image", None), "shape"):
+            grid = make_grid(np.asarray(batch["image"]))
+            save_png(os.path.join(step_dir, "inputs.png"), grid)
+            if self.use_wandb and wandb is not None and wandb.run is not None:
+                wandb.log({"inputs": wandb.Image(grid)}, step=step)
+        texts = batch.get("text")
+        if isinstance(texts, (list, tuple)) and texts:
+            os.makedirs(step_dir, exist_ok=True)
+            with open(os.path.join(step_dir, "text.txt"), "w") as f:
+                f.write("\n".join(str(t) for t in texts))
+            if self.use_wandb and wandb is not None and wandb.run is not None:
+                wandb.log(
+                    {"text": wandb.Table(columns=["text"], data=[[t] for t in texts])},
+                    step=step,
+                )
         logs = pipeline.model.log_samples(
             pipeline.frozen,
-            state.lora,
+            lora,
             batch,
             input_shape=self.input_shape,
             num_steps=self.num_steps,

@@ -9,10 +9,19 @@ TPU-native re-design of the reference's LightningModule trainer
 - the manual-GAN double forward (:187-218, one full model forward per
   optimizer) becomes ONE jitted step producing both gradients from a shared
   rollout (stop_gradient partitioning in distill.losses); reference parity
-  alternation is preserved under ``gan_update_mode="alternating"`` by gating
-  update application on step parity;
+  alternation (``gan_update_mode="alternating"``) compiles TWO step variants
+  — a generator step that differentiates only the LoRA tree and a
+  discriminator step that differentiates only the disc tree — so each parity
+  pays exactly one backward instead of masking out half of two;
 - DDP/NCCL (SURVEY.md §2.2) becomes a data-axis mesh: batches sharded on
-  entry, gradients psum'd by XLA inside the jitted step.
+  entry, gradients psum'd by XLA inside the jitted step;
+- an EMA student (the north-star sampling/export target; the reference's
+  ``update_ema`` helper is dead code, src/flash/models/utils.py:362-377) is
+  a TrainState leaf updated inside the jitted step when
+  ``TrainingConfig.ema_decay`` is set;
+- ``validation_step`` (reference trainer/trainer.py:220-225) becomes
+  ``evaluate()``: loss aux on held-out batches, driven from ``fit`` at
+  ``val_every_n_steps`` cadence.
 """
 
 from __future__ import annotations
@@ -20,18 +29,24 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Any, Callable, Dict, Iterator, Optional
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..distill.losses import clip_disc_weights
 from ..parallel import create_mesh, replicate, shard_batch, shard_params_fsdp
+from ..utils.ema import init_ema, update_ema
 from .training_config import TrainingConfig
 
 logger = logging.getLogger(__name__)
+
+
+def export_lora(state: "TrainState") -> Any:
+    """LoRA tree to publish: the EMA student when tracked, else the live
+    student (the north star names the EMA student as the export target)."""
+    return state.ema if jax.tree_util.tree_leaves(state.ema) else state.lora
 
 
 @jax.tree_util.register_dataclass
@@ -43,6 +58,7 @@ class TrainState:
     opt_d: Any
     step: jnp.ndarray
     rng: jax.Array
+    ema: Any = ()  # EMA of the LoRA tree; () when ema_decay is unset
 
 
 class TrainingPipeline:
@@ -72,7 +88,8 @@ class TrainingPipeline:
         self.tx_d = config.build_optimizer(1) if len(config.optimizers_name) > 1 else None
         self._lora_init = lora_init
         self._disc_init = disc_init if disc_init is not None else {}
-        self._step_fns: Dict[int, Callable] = {}
+        self._step_fns: Dict[Tuple[int, Optional[str]], Callable] = {}
+        self._eval_fns: Dict[int, Callable] = {}
         self.alternating = getattr(model.config, "gan_update_mode", "simultaneous") == "alternating"
         self.is_wgan = getattr(model.config, "gan_loss_type", "") == "wgan"
 
@@ -85,69 +102,138 @@ class TrainingPipeline:
             opt_d=self.tx_d.init(self._disc_init) if self.tx_d else (),
             step=jnp.int32(0),
             rng=rng,
+            ema=init_ema(self._lora_init) if self.config.ema_decay else (),
         )
         return replicate(state, self.mesh)
 
     # ------------------------------------------------------------------
-    def _build_step(self, stage: int) -> Callable:
+    def _build_step(self, stage: int, phase: Optional[str]) -> Callable:
+        """phase: None = simultaneous (both updates from the shared-rollout
+        grads), "g"/"d" = alternating parity variants differentiating only
+        the active tree (the inactive backward never enters the graph)."""
         model = self.model
         tx_g, tx_d = self.tx_g, self.tx_d
-        alternating = self.alternating
         is_wgan = self.is_wgan
         wgan_clip = self.config.wgan_clip
+        ema_decay = self.config.ema_decay
 
         def step_fn(state: TrainState, frozen, batch):
             rng, sub = jax.random.split(state.rng)
 
-            def loss_fn(trainable):
-                return model.losses(trainable, frozen, batch, sub, stage)
+            if phase == "g":
+                def loss_fn(lora):
+                    return model.losses(
+                        {"lora": lora, "disc": state.disc}, frozen, batch, sub, stage
+                    )
 
-            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                {"lora": state.lora, "disc": state.disc}
-            )
+                (_, aux), g_grads = jax.value_and_grad(loss_fn, has_aux=True)(state.lora)
+                d_grads = None
+            elif phase == "d":
+                def loss_fn(disc):
+                    return model.losses(
+                        {"lora": state.lora, "disc": disc}, frozen, batch, sub, stage
+                    )
 
-            if alternating:
-                g_on = (state.step % 2 == 0).astype(jnp.float32)
-                d_on = 1.0 - g_on
+                (_, aux), d_grads = jax.value_and_grad(loss_fn, has_aux=True)(state.disc)
+                g_grads = None
             else:
-                g_on = d_on = jnp.float32(1.0)
+                def loss_fn(trainable):
+                    return model.losses(trainable, frozen, batch, sub, stage)
 
-            up_g, opt_g = tx_g.update(grads["lora"], state.opt_g, state.lora)
-            lora = jax.tree_util.tree_map(
-                lambda p, u: p + g_on.astype(p.dtype) * u, state.lora, up_g
-            )
-            if alternating:
-                opt_g = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(g_on > 0, new, old) if hasattr(new, "shape") else new,
-                    opt_g, state.opt_g,
+                (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    {"lora": state.lora, "disc": state.disc}
+                )
+                g_grads, d_grads = grads["lora"], grads["disc"]
+
+            lora, opt_g = state.lora, state.opt_g
+            if g_grads is not None:
+                up_g, opt_g = tx_g.update(g_grads, state.opt_g, state.lora)
+                lora = jax.tree_util.tree_map(
+                    lambda p, u: p + u.astype(p.dtype), state.lora, up_g
                 )
 
             disc, opt_d = state.disc, state.opt_d
-            if tx_d is not None and jax.tree_util.tree_leaves(state.disc):
-                up_d, opt_d = tx_d.update(grads["disc"], state.opt_d, state.disc)
+            if (
+                d_grads is not None
+                and tx_d is not None
+                and jax.tree_util.tree_leaves(state.disc)
+            ):
+                up_d, opt_d = tx_d.update(d_grads, state.opt_d, state.disc)
                 disc = jax.tree_util.tree_map(
-                    lambda p, u: p + d_on.astype(p.dtype) * u, state.disc, up_d
+                    lambda p, u: p + u.astype(p.dtype), state.disc, up_d
                 )
-                if alternating:
-                    opt_d = jax.tree_util.tree_map(
-                        lambda new, old: jnp.where(d_on > 0, new, old) if hasattr(new, "shape") else new,
-                        opt_d, state.opt_d,
-                    )
                 if is_wgan:
                     disc = clip_disc_weights(disc, wgan_clip)
 
+            ema = state.ema
+            if ema_decay and jax.tree_util.tree_leaves(state.ema):
+                ema = update_ema(state.ema, lora, ema_decay)
+
             new_state = TrainState(
                 lora=lora, disc=disc, opt_g=opt_g, opt_d=opt_d,
-                step=state.step + 1, rng=rng,
+                step=state.step + 1, rng=rng, ema=ema,
             )
             return new_state, aux
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    def step_fn_for_stage(self, stage: int) -> Callable:
-        if stage not in self._step_fns:
-            self._step_fns[stage] = self._build_step(stage)
-        return self._step_fns[stage]
+    def step_fn_for_stage(self, stage: int, phase: Optional[str] = None) -> Callable:
+        key = (stage, phase)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step(stage, phase)
+        return self._step_fns[key]
+
+    # ------------------------------------------------------------------
+    def _build_eval(self, stage: int) -> Callable:
+        model = self.model
+
+        def eval_fn(state: TrainState, frozen, batch):
+            _, aux = model.losses(
+                {"lora": state.lora, "disc": state.disc},
+                frozen,
+                batch,
+                jax.random.PRNGKey(0),  # fixed rng → comparable across evals
+                stage,
+            )
+            return aux
+
+        return jax.jit(eval_fn)
+
+    @staticmethod
+    def _numeric_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Strip non-numeric leaves (raw text, __key__, …) — jitted fns
+        consume token ids / arrays only."""
+        return {
+            k: v
+            for k, v in batch.items()
+            if isinstance(v, (np.ndarray, jnp.ndarray))
+            or (hasattr(v, "dtype") and hasattr(v, "shape"))
+        }
+
+    def evaluate(
+        self,
+        data: Iterator[Dict[str, Any]],
+        state: TrainState,
+        stage: int = 0,
+        max_batches: int = 8,
+    ) -> Dict[str, float]:
+        """Validation pass (reference TrainingPipeline.validation_step,
+        trainer/trainer.py:220-225): average loss aux over held-out batches,
+        no parameter updates, fixed eval rng."""
+        if stage not in self._eval_fns:
+            self._eval_fns[stage] = self._build_eval(stage)
+        sums: Dict[str, float] = {}
+        n = 0
+        for i, batch in enumerate(data):
+            if i >= max_batches:
+                break
+            batch = shard_batch(self._numeric_batch(batch), self.mesh)
+            aux = self._eval_fns[stage](state, self.frozen, batch)
+            for k, v in aux.items():
+                if jnp.ndim(v) == 0:
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {f"val/{k}": v / max(n, 1) for k, v in sums.items()}
 
     # ------------------------------------------------------------------
     def fit(
@@ -156,10 +242,13 @@ class TrainingPipeline:
         state: Optional[TrainState] = None,
         callbacks=(),
         max_steps: Optional[int] = None,
+        eval_data: Optional[Callable[[], Iterator[Dict[str, Any]]]] = None,
     ) -> TrainState:
         """Training loop: stage rotation (one compile per stage), per-step
         metrics, avg batch-time every 10 batches (reference
-        trainer/trainer.py:62-74), callbacks for sampling/checkpointing."""
+        trainer/trainer.py:62-74), callbacks for sampling/checkpointing,
+        periodic validation when ``eval_data`` (a factory returning a fresh
+        iterator) and ``val_every_n_steps`` are set."""
         cfg = self.config
         state = state if state is not None else self.init_state()
         max_steps = max_steps or cfg.max_steps or sum(self.model.config.num_iterations_per_K)
@@ -183,16 +272,9 @@ class TrainingPipeline:
                 self.frozen.pop("student_base", None)
                 logger.info("stage %d: switched teacher to merged student", stage)
             prev_stage = stage
-            # strip non-numeric leaves (raw text, __key__, …) — the jitted
-            # step consumes token ids / arrays only
-            batch = {
-                k: v
-                for k, v in batch.items()
-                if isinstance(v, (np.ndarray, jnp.ndarray))
-                or (hasattr(v, "dtype") and hasattr(v, "shape"))
-            }
-            batch = shard_batch(batch, self.mesh)
-            state, aux = self.step_fn_for_stage(stage)(state, self.frozen, batch)
+            batch = shard_batch(self._numeric_batch(batch), self.mesh)
+            phase = ("g" if step % 2 == 0 else "d") if self.alternating else None
+            state, aux = self.step_fn_for_stage(stage, phase)(state, self.frozen, batch)
 
             if (step + 1) % 10 == 0 and jax.process_index() == 0:
                 jax.block_until_ready(state.step)
@@ -201,6 +283,16 @@ class TrainingPipeline:
             if (step + 1) % cfg.log_every_n_steps == 0 and jax.process_index() == 0:
                 metrics = {k: float(v) for k, v in aux.items() if jnp.ndim(v) == 0}
                 logger.info("step %d %s", step + 1, metrics)
+            if (
+                eval_data is not None
+                and cfg.val_every_n_steps
+                and (step + 1) % cfg.val_every_n_steps == 0
+            ):
+                val = self.evaluate(
+                    eval_data(), state, stage, max_batches=cfg.val_batches
+                )
+                if jax.process_index() == 0:
+                    logger.info("step %d %s", step + 1, val)
             for cb in callbacks:
                 cb(self, state, aux, step + 1)
         return state

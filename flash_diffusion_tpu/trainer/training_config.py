@@ -62,6 +62,11 @@ class TrainingConfig(BaseConfig):
     max_steps: Optional[int] = None
     seed: int = 0
     wgan_clip: float = 0.01
+    # EMA student (north-star sampling/export target); None disables.
+    ema_decay: Optional[float] = None
+    # validation cadence (reference validation_step analog); None disables.
+    val_every_n_steps: Optional[int] = None
+    val_batches: int = 8
 
     def __post_init__(self):
         super().__post_init__()

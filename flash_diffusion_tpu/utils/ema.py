@@ -16,8 +16,11 @@ import jax.numpy as jnp
 
 
 def init_ema(params: Any) -> Any:
-    """EMA state starts as a copy of the tracked params."""
-    return jax.tree_util.tree_map(jnp.asarray, params)
+    """EMA state starts as a COPY of the tracked params (a genuine copy:
+    ``jnp.asarray`` would alias the same buffers, and aliased leaves break
+    donated train-step arguments — 'attempt to donate the same buffer
+    twice')."""
+    return jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
 
 
 def update_ema(ema: Any, params: Any, decay: float = 0.9999) -> Any:

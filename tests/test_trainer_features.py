@@ -1,0 +1,171 @@
+"""Trainer features: EMA student leaf, phase-split alternating GAN steps,
+validation loop (reference validation_step analog, trainer/trainer.py:220-225).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from flash_diffusion_tpu.distill import (
+    ConvDiscriminator,
+    DiscriminatorConfig,
+    FlashDiffusion,
+    FlashDiffusionConfig,
+)
+from flash_diffusion_tpu.lora import init_lora, lora_scaling
+from flash_diffusion_tpu.models import UNet2DCondition, UNetConfig
+from flash_diffusion_tpu.models.embedders import (
+    ClipEmbedder,
+    ClipEmbedderConfig,
+    ConditionerWrapper,
+)
+from flash_diffusion_tpu.trainer import TrainingConfig, TrainingPipeline, export_lora
+
+B, HW, C = 2, 16, 4
+
+
+def _build(gan_update_mode="simultaneous", **cfg_overrides):
+    rng = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(
+        UNetConfig(
+            in_channels=C, out_channels=C, block_out_channels=[16, 32],
+            down_block_types=["CrossAttnDownBlock2D", "DownBlock2D"],
+            layers_per_block=1, transformer_layers_per_block=[1, 1],
+            num_heads=[2, 2], cross_attention_dim=16, norm_num_groups=8,
+        )
+    )
+    cond = ConditionerWrapper(
+        [
+            ClipEmbedder(
+                ClipEmbedderConfig(
+                    input_key="text",
+                    text_embedder_config=dict(
+                        vocab_size=64, hidden_size=16, intermediate_size=32,
+                        num_layers=1, num_heads=2, max_positions=8,
+                        eos_token_id=63,
+                    ),
+                )
+            )
+        ]
+    )
+    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=8, num_stages=1))
+    batch = {
+        "image": jax.random.normal(rng, (B, HW, HW, C)),
+        "text_ids": jax.random.randint(rng, (B, 8), 0, 63),
+    }
+    t0 = jnp.zeros((B,), jnp.int32)
+    dummy_cond = {"cond": {"crossattn": jnp.zeros((B, 8, 16))}}
+    teacher = unet.init(jax.random.PRNGKey(1), batch["image"], t0, dummy_cond)
+    cparams = cond.init(jax.random.PRNGKey(2), batch)
+    dparams = disc.init(jax.random.PRNGKey(3), jnp.zeros((B, HW // 2, HW // 2, 32)))
+    lora = init_lora(teacher, rank=2, rng=jax.random.PRNGKey(4))
+
+    model = FlashDiffusion(
+        FlashDiffusionConfig(
+            K=[2], num_iterations_per_K=[100], guidance_scale_min=1.0,
+            guidance_scale_max=3.0, use_dmd_loss=False, gan_loss_type="hinge",
+            gan_update_mode=gan_update_mode,
+        ),
+        student_module=unet, teacher_module=unet, conditioner=cond,
+        discriminator=disc, lora_scaling=lora_scaling(2),
+    )
+    pipe = TrainingPipeline(
+        model,
+        TrainingConfig(learning_rates=[1e-3, 1e-3], **cfg_overrides),
+        frozen={"teacher": teacher, "conditioners": cparams},
+        lora_init=lora,
+        disc_init=dparams,
+    )
+    return pipe, batch
+
+
+def _flat(tree):
+    return traverse_util.flatten_dict(jax.device_get(tree), sep="/")
+
+
+def test_ema_leaf_tracks_lora_and_exports():
+    pipe, batch = _build(ema_decay=0.5)
+    state = pipe.init_state()
+    assert jax.tree_util.tree_leaves(state.ema)
+    # ema starts equal to lora
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.ema), jax.tree_util.tree_leaves(state.lora)
+    ):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
+
+    step = pipe.step_fn_for_stage(0)
+    for _ in range(3):
+        state, aux = step(state, pipe.frozen, batch)
+
+    la, ea = _flat(state.lora), _flat(state.ema)
+    moved = [k for k in la if not np.allclose(la[k], ea[k])]
+    assert moved, "EMA should lag the live student after updates"
+    # with decay 0.5 over 3 steps EMA must be strictly between init and live
+    diffs = [np.abs(la[k] - ea[k]).max() for k in la]
+    assert max(diffs) > 0
+
+    # export_lora prefers the EMA tree
+    exported = export_lora(state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(exported), jax.tree_util.tree_leaves(state.ema)
+    ):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
+
+
+def test_ema_disabled_keeps_empty_leaf_and_exports_live():
+    pipe, batch = _build()
+    state = pipe.init_state()
+    assert not jax.tree_util.tree_leaves(state.ema)
+    exported = export_lora(state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(exported), jax.tree_util.tree_leaves(state.lora)
+    ):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
+
+
+def test_alternating_phase_split_updates_one_tree_per_step():
+    pipe, batch = _build(gan_update_mode="alternating")
+    assert pipe.alternating
+    state = pipe.init_state()
+    lora0, disc0 = _flat(state.lora), _flat(state.disc)
+
+    # generator phase: lora moves, disc untouched
+    state, _ = pipe.step_fn_for_stage(0, "g")(state, pipe.frozen, batch)
+    lora1, disc1 = _flat(state.lora), _flat(state.disc)
+    assert any(not np.allclose(lora0[k], lora1[k]) for k in lora0)
+    for k in disc0:
+        np.testing.assert_array_equal(disc0[k], disc1[k])
+
+    # discriminator phase: disc moves, lora untouched
+    state, _ = pipe.step_fn_for_stage(0, "d")(state, pipe.frozen, batch)
+    lora2, disc2 = _flat(state.lora), _flat(state.disc)
+    assert any(not np.allclose(disc1[k], disc2[k]) for k in disc1)
+    for k in lora1:
+        np.testing.assert_array_equal(lora1[k], lora2[k])
+
+
+def test_fit_runs_validation_cadence(caplog):
+    import logging
+
+    pipe, batch = _build(val_every_n_steps=2, val_batches=2)
+
+    def batches():
+        while True:
+            yield dict(batch)
+
+    def eval_batches():
+        for _ in range(2):
+            yield dict(batch)
+
+    with caplog.at_level(logging.INFO, logger="flash_diffusion_tpu.trainer.trainer"):
+        state = pipe.fit(batches(), max_steps=4, eval_data=eval_batches)
+    assert int(state.step) == 4
+    val_logs = [r for r in caplog.records if "val/" in r.getMessage()]
+    assert len(val_logs) == 2  # steps 2 and 4
+
+    # evaluate() directly returns averaged scalars and mutates nothing
+    metrics = pipe.evaluate(eval_batches(), state, stage=0, max_batches=2)
+    assert any(k.startswith("val/") for k in metrics)
+    assert all(np.isfinite(v) for v in metrics.values())
