@@ -160,7 +160,9 @@ def bench_train(args):
     )
     from flash_diffusion_tpu.lora import init_lora, lora_scaling
     from flash_diffusion_tpu.models import (
+        MMDiT,
         UNet2DCondition,
+        sd3_medium_config,
         sd15_unet_config,
         sdxl_unet_config,
     )
@@ -168,6 +170,8 @@ def bench_train(args):
 
     dtype = jnp.bfloat16
     rng = jax.random.PRNGKey(0)
+    if args.model == "sd3":
+        return bench_train_sd3(args)
     if args.model == "sdxl":
         batch = args.batch or 2
         unet = UNet2DCondition(sdxl_unet_config(remat=True), dtype=dtype)
@@ -232,6 +236,85 @@ def bench_train(args):
         json.dumps(
             {
                 "metric": f"{args.model}_{res}px_K{args.k}_distill_step_time",
+                "value": round(dt, 4),
+                "unit": "sec/step",
+                "vs_baseline": 1.0,
+                "batch": batch,
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+def bench_train_sd3(args):
+    """Flash-SD3 (MMDiT 1024², rectified flow) distill train step — the
+    flow-matching family's north-star training metric."""
+    from flash_diffusion_tpu.distill import (
+        ConvDiscriminator,
+        DiscriminatorConfig,
+        FlashDiffusionSD3,
+        FlashDiffusionSD3Config,
+    )
+    from flash_diffusion_tpu.lora import init_lora, lora_scaling
+    from flash_diffusion_tpu.models import MMDiT, sd3_medium_config
+    from flash_diffusion_tpu.trainer import TrainingConfig, TrainingPipeline
+
+    batch = args.batch or 1
+    dtype = jnp.bfloat16
+    mmdit = MMDiT(sd3_medium_config(remat=True), dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    lat = jax.random.normal(rng, (batch, 128, 128, 16))
+    t0 = jnp.zeros((batch,), jnp.float32)
+    cond = {
+        "cond": {
+            "crossattn": jnp.zeros((batch, 154, 4096), dtype),
+            "vector": jnp.zeros((batch, 2048), dtype),
+        }
+    }
+    teacher = _zeros_bf16(jax.eval_shape(lambda: mmdit.init(rng, lat, t0, cond)))
+    # post-mid tap: 16-ch latent-res features (examples/train_flash_sd3.py)
+    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=4))
+    disc_params = disc.init(rng, jnp.zeros((batch, 128, 128, 16)))
+    lora = init_lora(teacher, rank=64, rng=rng)
+
+    class FixedCond:
+        def __call__(self, params, b, rng=None, ucg_keys=None, set_ucg_rate_zero=False):
+            c = dict(cond["cond"])
+            if ucg_keys:
+                c = {k: jnp.zeros_like(v) for k, v in c.items()}
+            return {"cond": c}
+
+        def init(self, rng, b):
+            return []
+
+    model = FlashDiffusionSD3(
+        FlashDiffusionSD3Config(
+            K=[args.k], num_iterations_per_K=[100000], guidance_scale_min=3.0,
+            guidance_scale_max=7.0, timestep_distribution="mixture",
+            mixture_num_components=4, use_dmd_loss=True, gan_loss_type="hinge",
+        ),
+        student_module=mmdit, teacher_module=mmdit, conditioner=FixedCond(),
+        discriminator=disc, lora_scaling=lora_scaling(64),
+    )
+    pipe = TrainingPipeline(
+        model, TrainingConfig(learning_rates=[1e-5, 1e-5]),
+        frozen={"teacher": teacher, "conditioners": []},
+        lora_init=lora, disc_init=disc_params,
+    )
+    state = pipe.init_state()
+    step = pipe.step_fn_for_stage(0)
+    batch_data = {"image": lat}
+    state, aux = step(state, pipe.frozen, batch_data)
+    _ = float(aux["loss/generator"])
+    t0_ = time.perf_counter()
+    for _ in range(args.iters):
+        state, aux = step(state, pipe.frozen, batch_data)
+    _ = float(aux["loss/generator"])
+    dt = (time.perf_counter() - t0_) / args.iters
+    print(
+        json.dumps(
+            {
+                "metric": f"sd3_1024px_K{args.k}_distill_step_time",
                 "value": round(dt, 4),
                 "unit": "sec/step",
                 "vs_baseline": 1.0,

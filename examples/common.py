@@ -30,7 +30,30 @@ def parse_args():
     ap.add_argument("--random-init", action="store_true", help="skip weight import")
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--output-dir", default="runs")
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="restore the latest Orbax checkpoint from the run's checkpoint "
+        "dir and continue (step/rng/optimizer/EMA state included)",
+    )
     return ap.parse_args()
+
+
+def maybe_resume(pipeline, args):
+    """Latest-checkpoint auto-resume (SLURM-restart analog; the reference
+    relies on Lightning ckpt_path for this)."""
+    if not getattr(args, "resume", False):
+        return None
+    from flash_diffusion_tpu.trainer import restore_state
+
+    state, step = restore_state(
+        os.path.abspath(pipeline.config.checkpoint_dir), pipeline.init_state()
+    )
+    if state is None:
+        logging.warning("--resume: no checkpoint under %s, starting fresh",
+                        pipeline.config.checkpoint_dir)
+        return None
+    logging.info("resumed from step %d", step)
+    return state
 
 
 def load_yaml(path: str) -> Dict:

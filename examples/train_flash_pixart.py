@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from common import build_data, init_params_shape_only, load_yaml, maybe_import, parse_args, setup_logging
+from common import build_data, init_params_shape_only, load_yaml, maybe_import, parse_args, setup_logging, maybe_resume
 
 from flash_diffusion_tpu.distill import (
     ConvDiscriminator,
@@ -161,7 +161,7 @@ def main():
         MetricLogger(every_n_steps=train_cfg.log_every_n_steps),
         CheckpointCallback(train_cfg.checkpoint_dir, train_cfg.checkpoint_every_n_steps),
     ]
-    state = pipeline.fit(batches(), callbacks=callbacks, max_steps=args.max_steps)
+    state = pipeline.fit(batches(), state=maybe_resume(pipeline, args), callbacks=callbacks, max_steps=args.max_steps)
 
     from flash_diffusion_tpu.lora import save_peft_safetensors
     from flash_diffusion_tpu.trainer import export_lora
