@@ -135,8 +135,14 @@ def test_alternating_gan_update_parity():
         frozen={"teacher": teacher}, lora_init=lora, disc_init=disc_params,
     )
     state = pipe.init_state()
-    step = pipe.step_fn_for_stage(0)
+    assert pipe.alternating
     batch = {"image": jax.random.normal(jax.random.PRNGKey(3), (B, HW, HW, C))}
+
+    def step(state, frozen, batch):
+        # fit()'s phase selection: even steps run the generator variant,
+        # odd steps the discriminator variant (each pays ONE backward)
+        phase = "g" if int(state.step) % 2 == 0 else "d"
+        return pipe.step_fn_for_stage(0, phase)(state, frozen, batch)
 
     d0 = jax.device_get(state.disc)
     l0 = jax.device_get(state.lora)
