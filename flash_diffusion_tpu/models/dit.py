@@ -154,7 +154,7 @@ class PixartBlock(nn.Module):
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
             m[:, i][:, None, :] for i in range(6)
         )
-        h = layer_norm(x) * (1 + scale_msa) + shift_msa
+        h = layer_norm(x, eps=1e-6) * (1 + scale_msa) + shift_msa
         x = x + gate_msa * Attention(
             self.num_heads, d // self.num_heads, qkv_bias=True, dtype=self.dtype, name="attn1"
         )(h)
@@ -162,7 +162,7 @@ class PixartBlock(nn.Module):
             x = x + Attention(
                 self.num_heads, d // self.num_heads, qkv_bias=True, dtype=self.dtype, name="attn2"
             )(x, context=context, bias=context_bias)
-        h = layer_norm(x) * (1 + scale_mlp) + shift_mlp
+        h = layer_norm(x, eps=1e-6) * (1 + scale_mlp) + shift_mlp
         inner = int(d * self.mlp_ratio)
         h = nn.Dense(inner, dtype=self.dtype, name="ff_in")(h)
         h = nn.gelu(h, approximate=True)
@@ -236,7 +236,7 @@ class DiT(nn.Module):
         )
         mo = table_out[None] + emb_t[:, None, :]
         shift, scale = mo[:, 0][:, None, :], mo[:, 1][:, None, :]
-        x = layer_norm(x) * (1 + scale) + shift
+        x = layer_norm(x, eps=1e-6) * (1 + scale) + shift
         x = nn.Dense(p * p * cfg.out_channels, dtype=self.dtype, name="proj_out")(x)
 
         # unpatchify

@@ -85,8 +85,8 @@ class JointBlock(nn.Module):
                 mod_c.reshape(b, 6, d)[:, i][:, None, :] for i in range(6)
             )
 
-        xn = layer_norm(x) * (1 + sc_msa) + sh_msa
-        cn = layer_norm(c) * (1 + csc_msa) + csh_msa
+        xn = layer_norm(x, eps=1e-6) * (1 + sc_msa) + sh_msa
+        cn = layer_norm(c, eps=1e-6) * (1 + csc_msa) + csh_msa
 
         dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
         qx, kx, vx = dense("to_q")(xn), dense("to_k")(xn), dense("to_v")(xn)
@@ -111,7 +111,7 @@ class JointBlock(nn.Module):
         ax, ac = attn[:, :sx], attn[:, sx:]
 
         x = x + g_msa * nn.Dense(d, dtype=self.dtype, name="to_out")(ax)
-        hx = layer_norm(x) * (1 + sc_mlp) + sh_mlp
+        hx = layer_norm(x, eps=1e-6) * (1 + sc_mlp) + sh_mlp
         inner = int(d * self.mlp_ratio)
         hx = nn.Dense(inner, dtype=self.dtype, name="ff_in")(hx)
         hx = nn.gelu(hx, approximate=True)
@@ -120,7 +120,7 @@ class JointBlock(nn.Module):
         if self.context_pre_only:
             return x, None
         c = c + cg_msa * nn.Dense(d, dtype=self.dtype, name="to_add_out")(ac)
-        hc = layer_norm(c) * (1 + csc_mlp) + csh_mlp
+        hc = layer_norm(c, eps=1e-6) * (1 + csc_mlp) + csh_mlp
         hc = nn.Dense(inner, dtype=self.dtype, name="ff_context_in")(hc)
         hc = nn.gelu(hc, approximate=True)
         c = c + cg_mlp * nn.Dense(d, dtype=self.dtype, name="ff_context_out")(hc)
@@ -180,7 +180,7 @@ class MMDiT(nn.Module):
         def head(tokens):
             mo = norm_out_linear(nn.silu(temb)).reshape(b, 2, d)
             scale, shift = mo[:, 0][:, None, :], mo[:, 1][:, None, :]
-            t = layer_norm(tokens) * (1 + scale) + shift
+            t = layer_norm(tokens, eps=1e-6) * (1 + scale) + shift
             t = proj_out(t)
             t = t.reshape(b, gh, gw, p, p, cfg.out_channels)
             t = jnp.einsum("bhwpqc->bhpwqc", t).reshape(b, hh, ww, cfg.out_channels)
