@@ -47,7 +47,8 @@ def main():
     setup_logging(args.output_dir)
     root = args.weights_root or cfg.get("WEIGHTS_ROOT", "")
 
-    unet_cfg = sdxl_unet_config()
+    unet_cfg = sdxl_unet_config(remat=True)  # rematerialize blocks: the K-step rollout + student backward
+    # does not fit HBM at train res without it
     unet = UNet2DCondition(unet_cfg, dtype=jnp.bfloat16)
     vae_cfg = sd_vae_config(scaling_factor=0.13025)
     vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
@@ -78,7 +79,14 @@ def main():
     ]
     conditioner = ConditionerWrapper([clip_l, clip_g, *size_embedders])
 
-    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=256, num_stages=3))
+    size = cfg.get("IMAGE_SIZE", 1024)
+    # SDXL UNet: 3 levels, mid features at latent/4 (= size/32); each disc
+    # stage halves, the head is a 4x4 VALID conv -> stages sized to leave >=4
+    mid_hw = size // 32
+    import math
+
+    num_stages = max(0, int(math.log2(max(mid_hw // 4, 1))))
+    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=256, num_stages=num_stages))
 
     rng = jax.random.PRNGKey(cfg.get("SEED", 0))
     teacher_params = maybe_import(
@@ -105,7 +113,7 @@ def main():
         import_clip_text, clip_g.encoder_config, args.random_init,
         lambda: clip_g.init(rng, tok_batch),
     )
-    disc_params = disc.init(rng, jnp.zeros((1, 32, 32, 1280)))
+    disc_params = disc.init(rng, jnp.zeros((1, mid_hw, mid_hw, 1280)))
 
     rank = cfg.get("LORA_RANK", 64)
     lora = init_lora(teacher_params, rank=rank, rng=rng)
@@ -158,10 +166,15 @@ def main():
         ema_decay=cfg.get("EMA_DECAY"),
         val_every_n_steps=cfg.get("VAL_EVERY_N_STEPS"),
     )
-    pipeline = TrainingPipeline(model, train_cfg, frozen, lora, disc_params)
+    pipeline = TrainingPipeline(
+        model, train_cfg, frozen, lora, disc_params,
+        # frozen teacher/vae/text-encoder trees stored bf16: the bodies
+        # compute in bf16 anyway; fp32 storage only doubles rollout HBM
+        # reads and resident footprint (see TrainingPipeline.frozen_dtype)
+        frozen_dtype=jnp.bfloat16,
+    )
 
     data = build_data(cfg)
-    size = cfg.get("IMAGE_SIZE", 1024)
 
     def batches(source=None):
         try:
@@ -202,13 +215,21 @@ def main():
     ]
     state = pipeline.fit(batches(), state=maybe_resume(pipeline, args), callbacks=callbacks, max_steps=args.max_steps, eval_data=eval_data)
 
-    from flash_diffusion_tpu.lora import save_peft_safetensors
+    from flash_diffusion_tpu.lora import save_kohya_safetensors, save_peft_safetensors
     from flash_diffusion_tpu.trainer import export_lora
     from flash_diffusion_tpu.utils.hf import unet_lora_name_map
 
+    lora_tree = jax.device_get(export_lora(state))
+    name_map = unet_lora_name_map(unet_cfg)
     out = os.path.join(args.output_dir, "pytorch_lora_weights.safetensors")
-    save_peft_safetensors(out, jax.device_get(export_lora(state)), unet_lora_name_map(unet_cfg), prefix="unet")
+    save_peft_safetensors(out, lora_tree, name_map, prefix="unet")
     print("saved", out)
+    # ComfyUI-loadable kohya-format copy (reference ships the SDXL adapter
+    # this way too: /root/reference/README.md:355-364 + examples/comfy/)
+    comfy = os.path.join(args.output_dir, "comfy", "FlashSDXL.safetensors")
+    os.makedirs(os.path.dirname(comfy), exist_ok=True)
+    save_kohya_safetensors(comfy, lora_tree, name_map)
+    print("saved", comfy)
 
 
 if __name__ == "__main__":

@@ -193,6 +193,103 @@ def save_peft_safetensors(path: str, lora, name_map=None, prefix="unet"):
     save_file(to_peft(lora, name_map, prefix), path)
 
 
+# --------------------------------------------------------------------------
+# kohya / ComfyUI interop
+# --------------------------------------------------------------------------
+def to_kohya(
+    lora: Dict[str, Any],
+    name_map: Optional[Dict[str, str]] = None,
+    prefix: str = "lora_unet",
+    alpha: Optional[float] = None,
+) -> Dict[str, np.ndarray]:
+    """Export to the kohya-ss naming ComfyUI's LoRA loader consumes
+    (the reference publishes its SDXL adapter in this format for Comfy:
+    ``/root/reference/README.md:355-364``).
+
+    Keys: ``{prefix}_{module with '.'->'_'}.lora_down.weight`` [r, in],
+    ``...lora_up.weight`` [out, r] (conv: 4-D torch layouts), and a scalar
+    ``...alpha`` per module (defaults to the rank, i.e. scaling 1 — matching
+    :func:`lora_scaling`'s default).
+    """
+    peft = to_peft(lora, name_map, prefix="U")
+    out: Dict[str, np.ndarray] = {}
+    for key, arr in peft.items():
+        stem = key[len("U.") :]
+        if stem.endswith(".lora_A.weight"):
+            module, leaf = stem[: -len(".lora_A.weight")], "lora_down"
+            rank = arr.shape[0]
+        else:
+            module, leaf = stem[: -len(".lora_B.weight")], "lora_up"
+            rank = arr.shape[1]
+        kmod = f"{prefix}_{module.replace('.', '_')}"
+        out[f"{kmod}.{leaf}.weight"] = arr
+        out[f"{kmod}.alpha"] = np.asarray(
+            float(alpha) if alpha is not None else float(rank), np.float32
+        )
+    return out
+
+
+def from_kohya(
+    tensors: Dict[str, np.ndarray],
+    base_params: Dict[str, Any],
+    name_map: Optional[Dict[str, str]] = None,
+    prefix: str = "lora_unet",
+) -> Tuple[Dict[str, Any], float]:
+    """Inverse of :func:`to_kohya`: returns (lora_tree, scaling).
+
+    kohya keys flatten module paths with ``_``, which is ambiguous against
+    path components that themselves contain underscores — resolve by
+    matching against the module paths that actually carry LoRA leaves in
+    ``base_params`` (plus ``name_map`` values), longest match first.
+    """
+    candidates = {}
+    for p in lora_paths(base_params, targets=(".*",)):
+        mod = p[: -len("/kernel")] if p.endswith("/kernel") else p
+        candidates[mod.replace("/", ".").replace(".", "_")] = mod
+    for mod in (name_map or {}).values():
+        candidates[mod.replace("/", ".").replace(".", "_")] = mod
+    inv = {v: k for k, v in (name_map or {}).items()}
+
+    lora: Dict[str, Any] = {}
+    rank = alpha = None
+    for key, arr in tensors.items():
+        if not key.startswith(prefix + "_"):
+            continue
+        stem = key[len(prefix) + 1 :]
+        if stem.endswith(".lora_down.weight"):
+            flat_mod, leaf = stem[: -len(".lora_down.weight")], "a"
+        elif stem.endswith(".lora_up.weight"):
+            flat_mod, leaf = stem[: -len(".lora_up.weight")], "b"
+        elif stem.endswith(".alpha"):
+            alpha = float(np.asarray(arr))
+            continue
+        else:
+            continue
+        module = candidates.get(flat_mod)
+        if module is None:
+            raise KeyError(
+                f"kohya module {flat_mod!r} does not match any param path"
+            )
+        module = inv.get(module, module)
+        arr = np.asarray(arr, np.float32)
+        if leaf == "a":
+            arr = arr.T if arr.ndim == 2 else arr.transpose(2, 3, 1, 0)
+            rank = arr.shape[-1]
+        else:
+            arr = arr[:, :, 0, 0].T if arr.ndim == 4 else arr.T
+        lora[f"{module}/kernel/{leaf}"] = jnp.asarray(arr)
+    if rank is None:
+        raise ValueError(f"No LoRA tensors found under prefix {prefix!r}")
+    scaling = (alpha / rank) if alpha is not None else lora_scaling(rank)
+    return traverse_util.unflatten_dict(lora, sep="/"), scaling
+
+
+def save_kohya_safetensors(path: str, lora, name_map=None, prefix="lora_unet", alpha=None):
+    from safetensors.numpy import save_file
+
+    save_file(to_kohya(lora, name_map, prefix, alpha), path)
+
+
 def load_peft_safetensors(path: str, base_params, name_map=None, prefix="unet", alpha=None):
     from safetensors.numpy import load_file
 

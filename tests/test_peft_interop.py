@@ -131,3 +131,56 @@ def test_unet_name_map_matches_peft_module_walk():
         # projection module (to_out.0 is the Linear inside ModuleList)
         leaf = theirs.split(".")[-1]
         assert leaf in {"to_q", "to_k", "to_v", "0", "proj", "net", "proj_in", "proj_out", "2"}, theirs
+
+
+def test_kohya_export_roundtrip_and_key_format():
+    """ComfyUI border: ``to_kohya`` must emit kohya-ss keys (the format the
+    reference publishes for Comfy, reference README.md:355-364) and
+    ``from_kohya`` must invert it to the identical merged weights."""
+    from flash_diffusion_tpu.lora import from_kohya, to_kohya
+
+    model, cfg = _build_peft_model()
+    tensors = _peft_sd_with_unet_prefix(model)
+    base_params = _flax_base_params(model.get_base_model())
+    lora, scaling = from_peft(tensors, base_params, alpha=cfg.lora_alpha)
+
+    kohya = to_kohya(lora, alpha=cfg.lora_alpha)
+    assert set(kohya) == {
+        "lora_unet_to_q.lora_down.weight",
+        "lora_unet_to_q.lora_up.weight",
+        "lora_unet_to_q.alpha",
+        "lora_unet_conv.lora_down.weight",
+        "lora_unet_conv.lora_up.weight",
+        "lora_unet_conv.alpha",
+    }
+    # kohya layouts: down [r, in] / up [out, r]; conv stays 4-D torch
+    assert kohya["lora_unet_to_q.lora_down.weight"].shape == (cfg.r, 8)
+    assert kohya["lora_unet_to_q.lora_up.weight"].shape == (8, cfg.r)
+    assert kohya["lora_unet_conv.lora_down.weight"].shape == (cfg.r, 4, 3, 3)
+    assert kohya["lora_unet_conv.lora_up.weight"].shape == (8, cfg.r, 1, 1)
+    assert float(kohya["lora_unet_to_q.alpha"]) == cfg.lora_alpha
+
+    lora2, scaling2 = from_kohya(kohya, base_params)
+    assert scaling2 == scaling
+    m1 = merge_lora(base_params, lora, scaling)
+    m2 = merge_lora(base_params, lora2, scaling2)
+    for k in ("to_q", "conv"):
+        np.testing.assert_allclose(
+            np.array(m1[k]["kernel"]), np.array(m2[k]["kernel"]), rtol=1e-6
+        )
+
+
+def test_kohya_underscore_module_disambiguation():
+    """kohya flattens '.' and '_' identically; from_kohya must resolve
+    against real param paths (down_blocks.1 vs down_blocks_1)."""
+    from flash_diffusion_tpu.lora import from_kohya, to_kohya
+
+    base = {
+        "down_blocks_0": {"to_q": {"kernel": jnp.zeros((8, 8))}},
+    }
+    lora = {"down_blocks_0": {"to_q": {"kernel": {
+        "a": jnp.ones((8, 4)), "b": jnp.ones((4, 8))}}}}
+    kohya = to_kohya(lora)
+    assert "lora_unet_down_blocks_0_to_q.lora_down.weight" in kohya
+    lora2, _ = from_kohya(kohya, base)
+    assert lora2["down_blocks_0"]["to_q"]["kernel"]["a"].shape == (8, 4)
