@@ -349,6 +349,8 @@ def main():
         help="bench the host data pipeline (synthetic 1024px jpg shards)",
     )
     ap.add_argument("--num-workers", type=int, default=0, help="(--input-pipeline) 0 = one per CPU core")
+    ap.add_argument("--source-size", type=int, default=1024, help="(--input-pipeline) synthetic jpeg source resolution")
+    ap.add_argument("--no-draft", action="store_true", help="(--input-pipeline) disable DCT-scaled jpeg decode")
     ap.add_argument("--worker-backend", default="thread", choices=["thread", "process"])
     args = ap.parse_args()
     if args.input_pipeline:
@@ -475,10 +477,11 @@ def bench_input_pipeline(args):
         # contention (measured: 38.5 img/s at 1 worker vs 21.0 at 8)
         args.num_workers = _os2.cpu_count() or 1
     res = 1024
+    src = max(args.source_size, res)
     per_shard, n_shards = 64, max(4, args.num_workers)
     root = tempfile.mkdtemp(prefix="bench_shards_")
     rng = np.random.default_rng(0)
-    base = (rng.random((res, res, 3)) * 255).astype(np.uint8)
+    base = (rng.random((src, src, 3)) * 255).astype(np.uint8)
     shards = []
     idx = 0
     for s in range(n_shards):
@@ -527,6 +530,9 @@ def bench_input_pipeline(args):
         shards_path_or_urls=shards, per_worker_batch_size=8,
         num_workers=args.num_workers, shuffle_buffer_size=16,
         worker_backend=args.worker_backend,
+        # DCT-scaled JPEG decode straight to >= res (only kicks in when the
+        # synthetic source (--source-size) exceeds the train res)
+        decode_draft_size=None if args.no_draft else res,
     )
     pipe = DataPipeline(cfg, chain)
     # warmup one batch (thread spin-up), then time a full epoch
@@ -541,6 +547,7 @@ def bench_input_pipeline(args):
         json.dumps(
             {
                 "metric": f"input_pipeline_{res}px_images_per_sec_per_host",
+                "source_px": src,
                 "value": round(rate, 2),
                 "unit": "images/sec/host",
                 "vs_baseline": 1.0,

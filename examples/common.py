@@ -75,10 +75,17 @@ def setup_logging(output_dir: str):
 
 
 def init_params_shape_only(module, *args, rng=None, **kwargs):
-    """Shape-init (abstract eval + zeros) for --random-init smoke runs."""
+    """Shape-init (abstract eval + zeros) for --random-init smoke runs.
+
+    Returns HOST (numpy) zeros: frozen trees must stay off-device until
+    TrainingPipeline has applied its storage dtype and sharding — SDXL's
+    frozen stack is ~14 GB in fp32, which OOMs a 16 GB chip if the fp32
+    originals land on device before the bf16 cast."""
+    import numpy as np
+
     rng = rng or jax.random.PRNGKey(0)
     shapes = jax.eval_shape(lambda: module.init(rng, *args, **kwargs))
-    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    return jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), shapes)
 
 
 def maybe_import(path: Optional[str], importer, config, random_init: bool, init_fn):
@@ -148,6 +155,9 @@ def build_data(cfg: Dict, extra_filters_mappers=()):
         per_worker_batch_size=cfg.get("BATCH_SIZE", 2),
         num_workers=cfg.get("NUM_WORKERS", 2),
         shuffle_buffer_size=cfg.get("SHUFFLE_BUFFER_SIZE", 100),
+        # JPEG DCT-scaled decode straight to >= train res (2-5x cheaper
+        # host decode on large camera sources; no-op when source <= res)
+        decode_draft_size=cfg.get("DECODE_DRAFT_SIZE", size),
     )
     return DataPipeline(data_cfg, chain)
 

@@ -239,3 +239,27 @@ def test_brace_expansion():
     # nested ranges expand recursively
     out = expand_shards(["{0..1}/{00..01}.tar"])
     assert out == ["0/00.tar", "0/01.tar", "1/00.tar", "1/01.tar"]
+
+
+def test_jpeg_draft_decode(tmp_path):
+    """decode_draft_size decodes JPEG at a reduced DCT scale that still
+    covers the requested size; non-JPEG formats are untouched."""
+    import io as _io
+
+    from PIL import Image
+
+    from flash_diffusion_tpu.data.dataset import _decode_member
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (2048, 2048)).save(buf, "JPEG")
+    data = buf.getvalue()
+    full = _decode_member("x.jpg", data, "pil")
+    assert full.size == (2048, 2048)
+    drafted = _decode_member("x.jpg", data, "pil", draft_size=512)
+    # libjpeg picks the smallest 1/2^k scale covering 512 -> exactly 512 here
+    assert 512 <= drafted.size[0] < 2048 and drafted.size[0] == drafted.size[1]
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (256, 256)).save(buf, "PNG")
+    png = _decode_member("x.png", buf.getvalue(), "pil", draft_size=64)
+    assert png.size == (256, 256)
