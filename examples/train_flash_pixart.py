@@ -44,7 +44,7 @@ def main():
     setup_logging(args.output_dir)
     root = args.weights_root or cfg.get("WEIGHTS_ROOT", "")
 
-    dit_cfg = pixart_config(num_vector_embeds=3)  # height, width, aspect ratio
+    dit_cfg = pixart_config(num_vector_embeds=3, remat=True)  # height, width, aspect ratio
     dit = DiT(dit_cfg, dtype=jnp.bfloat16)
     vae_cfg = sd_vae_config()
     vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
@@ -128,7 +128,13 @@ def main():
         checkpoint_every_n_steps=cfg.get("CKPT_EVERY_N_STEPS", 5000),
         checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
     )
-    pipeline = TrainingPipeline(model, train_cfg, frozen, lora, disc_params)
+    pipeline = TrainingPipeline(
+        model, train_cfg, frozen, lora, disc_params,
+        # frozen teacher/vae/text-encoder trees stored bf16: the bodies
+        # compute in bf16 anyway; fp32 storage only doubles rollout HBM
+        # reads and resident footprint (see TrainingPipeline.frozen_dtype)
+        frozen_dtype=jnp.bfloat16,
+    )
 
     data = build_data(cfg)
 

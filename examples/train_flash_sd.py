@@ -52,7 +52,8 @@ def main():
     setup_logging(args.output_dir)
     root = args.weights_root or cfg.get("WEIGHTS_ROOT", "")
 
-    unet_cfg = sd15_unet_config()
+    unet_cfg = sd15_unet_config(remat=True)  # rematerialize blocks: the K-step rollout + student backward
+    # does not fit HBM at train res without it
     unet = UNet2DCondition(unet_cfg, dtype=jnp.bfloat16)
     vae_cfg = sd_vae_config()
     vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
@@ -145,7 +146,13 @@ def main():
         ema_decay=cfg.get("EMA_DECAY"),
         val_every_n_steps=cfg.get("VAL_EVERY_N_STEPS"),
     )
-    pipeline = TrainingPipeline(model, train_cfg, frozen, lora, disc_params)
+    pipeline = TrainingPipeline(
+        model, train_cfg, frozen, lora, disc_params,
+        # frozen teacher/vae/text-encoder trees stored bf16: the bodies
+        # compute in bf16 anyway; fp32 storage only doubles rollout HBM
+        # reads and resident footprint (see TrainingPipeline.frozen_dtype)
+        frozen_dtype=jnp.bfloat16,
+    )
 
     data = build_data(cfg)
 

@@ -44,7 +44,8 @@ def main():
     setup_logging(args.output_dir)
     root = args.weights_root or cfg.get("WEIGHTS_ROOT", "")
 
-    mmdit_cfg = sd3_medium_config()
+    mmdit_cfg = sd3_medium_config(remat=True)  # rematerialize blocks: the K-step rollout + student backward
+    # does not fit HBM at train res without it
     mmdit = MMDiT(mmdit_cfg, dtype=jnp.bfloat16)
     vae_cfg = sd3_vae_config()
     vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
@@ -148,7 +149,13 @@ def main():
         checkpoint_every_n_steps=cfg.get("CKPT_EVERY_N_STEPS", 5000),
         checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
     )
-    pipeline = TrainingPipeline(model, train_cfg, frozen, lora, disc_params)
+    pipeline = TrainingPipeline(
+        model, train_cfg, frozen, lora, disc_params,
+        # frozen teacher/vae/text-encoder trees stored bf16: the bodies
+        # compute in bf16 anyway; fp32 storage only doubles rollout HBM
+        # reads and resident footprint (see TrainingPipeline.frozen_dtype)
+        frozen_dtype=jnp.bfloat16,
+    )
 
     data = build_data(cfg)
 

@@ -75,6 +75,12 @@ class FlashDiffusionConfig(BaseConfig):
     mode_probs: Optional[List[List[float]]] = None
     use_teacher_as_real: bool = False
     use_empty_prompt: bool = False
+    # rematerialize the LoRA-merge + student forward as one checkpointed
+    # segment (trades ~1 extra student forward in the backward for not
+    # holding the params-sized merged tree across the rollout/DMD/GAN
+    # segments). Off by default: with block-level remat already on in the
+    # bodies, XLA's scheduler usually does better without the extra barrier.
+    remat_student_merge: bool = False
     # fixed GAN noising timesteps (reference hardcodes these, :524)
     gan_timesteps: List[int] = field(default_factory=lambda: [10, 250, 500, 750])
     # "simultaneous": G and D both update every step (shared rollout, TPU
@@ -193,6 +199,23 @@ class FlashDiffusion:
         base = frozen.get("student_base") or frozen["teacher"]
         return merge_lora(base, lora, self.lora_scaling)
 
+    def _student_forward(self, frozen, lora, x, t, cond, adapter_res=None):
+        """Merge-at-use under ``jax.checkpoint``: the merged student tree is
+        a full params-sized copy (SDXL bf16: ~5 GB) — materializing it once
+        per segment and rematerializing in the backward keeps it an
+        ephemeral temp instead of a live buffer across the K-step teacher
+        rollout / DMD / GAN segments. The merge itself is rank-r matmuls —
+        negligible recompute."""
+
+        def f(lora_, x_, t_, cond_, adapter_):
+            p = self.student_params(frozen, lora_)
+            kw = {"adapter_residuals": adapter_} if adapter_ is not None else {}
+            return self.student_module.apply(p, x_, t_, cond_, **kw)
+
+        if getattr(self.config, "remat_student_merge", False):
+            f = jax.checkpoint(f)
+        return f(lora, x, t, cond, adapter_res)
+
     def _conditionings(self, frozen, batch, rng):
         """(cond, student_cond, uncond) — reference forward :188-205."""
         if self.conditioner is None:
@@ -268,16 +291,25 @@ class FlashDiffusion:
         if cfg.distill_loss_type == "lpips":
             s = center_crop(student_output, cfg.lpips_crop)
             t = center_crop(teacher_output, cfg.lpips_crop)
-            dec_s = jnp.clip(
-                self.vae.apply(frozen["vae"], s, method=self.vae.decode_latents), -1, 1
-            )
-            dec_t = jnp.clip(
-                self.vae.apply(frozen["vae"], t, method=self.vae.decode_latents), -1, 1
-            )
-            return jnp.mean(self.lpips.apply(frozen["lpips"], dec_s, dec_t))
+
+            # checkpointed: the VAE-decoder + VGG residuals (~GBs at 64²
+            # latent crops) would otherwise be held across the whole step
+            # graph; saving only the cropped latents and recomputing the
+            # two decodes + LPIPS towers in the backward costs a negligible
+            # fraction of the K-step rollout's FLOPs.
+            def lp(s_, t_):
+                dec_s = jnp.clip(
+                    self.vae.apply(frozen["vae"], s_, method=self.vae.decode_latents), -1, 1
+                )
+                dec_t = jnp.clip(
+                    self.vae.apply(frozen["vae"], t_, method=self.vae.decode_latents), -1, 1
+                )
+                return jnp.mean(self.lpips.apply(frozen["lpips"], dec_s, dec_t))
+
+            return jax.checkpoint(lp)(s, t)
         raise ValueError(cfg.distill_loss_type)
 
-    def _dmd(self, frozen, student_params, student_output, cond, student_cond, uncond, adapter_res, stage, rng):
+    def _dmd(self, frozen, lora, student_params, student_output, cond, student_cond, uncond, adapter_res, stage, rng):
         """DMD loss (reference :401-499): re-noise the student output at a
         random t, query teacher (CFG) + student (no grad), score difference."""
         cfg = self.config
@@ -299,11 +331,19 @@ class FlashDiffusion:
             )
         )
         real_c, real_u = jnp.split(pred2, 2, axis=0)
-        fake = sg(
-            self.student_module.apply(
-                student_params, sg(noisy), t, student_cond, adapter_residuals=adapter_res
+        if student_params is None:
+            fake = sg(
+                self._student_forward(
+                    frozen, sg(lora), sg(noisy), t, student_cond, adapter_res
+                )
             )
-        )
+        else:
+            fake = sg(
+                self.student_module.apply(
+                    student_params, sg(noisy), t, student_cond,
+                    adapter_residuals=adapter_res,
+                )
+            )
         g = (
             jax.random.uniform(k_g)
             * (cfg.guidance_scale_max[stage] - cfg.guidance_scale_min[stage])
@@ -360,8 +400,21 @@ class FlashDiffusion:
         keys = jax.random.split(rng, 8)
         k_vae, k_ucg, k_noise, k_start, k_guid, k_roll, k_dmd, k_gan = keys
 
-        z = self._encode(frozen, batch, k_vae)
-        cond, student_cond, uncond = self._conditionings(frozen, batch, k_ucg)
+        # "__z" = staged VAE encode (stop-grad, frozen weights — same
+        # rationale as "__conds" below: keep the encoder out of this graph)
+        z = batch.get("__z")
+        if z is None:
+            z = self._encode(frozen, batch, k_vae)
+        # "__conds" = staged conditioning: the trainer pre-computes the three
+        # conditioner passes in a separately-jitted fn so the text-encoder
+        # towers (2×CLIP / CLIP+T5-XXL) are not part of this (already large)
+        # train-step graph — smaller compiles, and the towers run once even
+        # for the alternating-phase step pair.
+        pre = batch.get("__conds")
+        if pre is not None:
+            cond, student_cond, uncond = pre
+        else:
+            cond, student_cond, uncond = self._conditionings(frozen, batch, k_ucg)
         adapter_res = self._adapter_residuals(frozen, batch)
 
         b = z.shape[0]
@@ -376,10 +429,19 @@ class FlashDiffusion:
         noisy_init = is_start * pure + (1.0 - is_start) * noisy_from_z
 
         noisy_in = self.teacher_sched_mod.scale_model_input(sched, noisy_init, start_idx)
-        student_params = self.student_params(frozen, trainable["lora"])
-        student_pred = self.student_module.apply(
-            student_params, noisy_in, t_b, student_cond, adapter_residuals=adapter_res
-        )
+        if cfg.remat_student_merge:
+            student_params = None  # merge-at-use inside the checkpointed fwd
+            student_pred = self._student_forward(
+                frozen, trainable["lora"], noisy_in, t_b, student_cond, adapter_res
+            )
+        else:
+            # one merge shared by this forward AND the DMD student forward —
+            # a single params-sized temp that XLA CSEs across both uses
+            student_params = self.student_params(frozen, trainable["lora"])
+            student_pred = self.student_module.apply(
+                student_params, noisy_in, t_b, student_cond,
+                adapter_residuals=adapter_res,
+            )
         c_skip, c_out = boundary_scalings(t_b, cfg.sigma_data, cfg.timestep_scaling)
         c_skip = c_skip.reshape(-1, 1, 1, 1)
         c_out = c_out.reshape(-1, 1, 1, 1)
@@ -408,8 +470,8 @@ class FlashDiffusion:
 
         if cfg.use_dmd_loss:
             dmd = self._dmd(
-                frozen, student_params, student_output, cond, student_cond, uncond,
-                adapter_res, stage, k_dmd,
+                frozen, trainable["lora"], student_params, student_output, cond,
+                student_cond, uncond, adapter_res, stage, k_dmd,
             )
             loss_g_total = loss_g_total + dmd * cfg.dmd_loss_scale[stage]
             aux["loss/dmd"] = dmd

@@ -112,8 +112,14 @@ class FlashDiffusionSD3(FlashDiffusion):
         sched = self.stage_schedules[stage]
         k_vae, k_ucg, k_noise, k_start, k_guid, k_roll, k_dmd, k_gan = jax.random.split(rng, 8)
 
-        z = self._encode(frozen, batch, k_vae)
-        cond, student_cond, uncond = self._conditionings(frozen, batch, k_ucg)
+        z = batch.get("__z")  # staged VAE encode (see FlashDiffusion.losses)
+        if z is None:
+            z = self._encode(frozen, batch, k_vae)
+        pre = batch.get("__conds")  # staged conditioning (see FlashDiffusion.losses)
+        if pre is not None:
+            cond, student_cond, uncond = pre
+        else:
+            cond, student_cond, uncond = self._conditionings(frozen, batch, k_ucg)
 
         b = z.shape[0]
         start_idx = sample_start_index(k_start, self.stage_pdfs[stage])
@@ -126,8 +132,16 @@ class FlashDiffusionSD3(FlashDiffusion):
         is_start = (start_idx == 0).astype(z.dtype)
         noisy_init = is_start * (noise * sched.init_noise_sigma) + (1.0 - is_start) * noisy_interp
 
-        student_params = self.student_params(frozen, trainable["lora"])
-        student_pred = self.student_module.apply(student_params, noisy_init, t_b, student_cond)
+        if cfg.remat_student_merge:
+            student_params = None  # merge-at-use inside the checkpointed fwd
+            student_pred = self._student_forward(
+                frozen, trainable["lora"], noisy_init, t_b, student_cond
+            )
+        else:
+            student_params = self.student_params(frozen, trainable["lora"])
+            student_pred = self.student_module.apply(
+                student_params, noisy_init, t_b, student_cond
+            )
         student_output = noisy_init - student_pred * sigma
 
         g = (
@@ -145,7 +159,8 @@ class FlashDiffusionSD3(FlashDiffusion):
 
         if cfg.use_dmd_loss:
             dmd = self._dmd_rf(
-                frozen, student_params, student_output, cond, student_cond, uncond, stage, k_dmd
+                frozen, trainable["lora"], student_params, student_output, cond,
+                student_cond, uncond, stage, k_dmd,
             )
             loss_g_total = loss_g_total + dmd * cfg.dmd_loss_scale[stage]
             aux["loss/dmd"] = dmd
@@ -162,7 +177,7 @@ class FlashDiffusionSD3(FlashDiffusion):
         aux["loss/generator"] = loss_g_total
         return loss_g_total + loss_d, aux
 
-    def _dmd_rf(self, frozen, student_params, student_output, cond, student_cond, uncond, stage, rng):
+    def _dmd_rf(self, frozen, lora, student_params, student_output, cond, student_cond, uncond, stage, rng):
         cfg = self.config
         b = student_output.shape[0]
         k_n, k_t, k_g = jax.random.split(rng, 3)
@@ -179,7 +194,10 @@ class FlashDiffusionSD3(FlashDiffusion):
             self.teacher_module.apply(frozen["teacher"], sg(jnp.concatenate([noisy, noisy])), t2, cond2)
         )
         real_c, real_u = jnp.split(pred2, 2, axis=0)
-        fake = sg(self.student_module.apply(student_params, sg(noisy), t, student_cond))
+        if student_params is None:
+            fake = sg(self._student_forward(frozen, sg(lora), sg(noisy), t, student_cond))
+        else:
+            fake = sg(self.student_module.apply(student_params, sg(noisy), t, student_cond))
         g = (
             jax.random.uniform(k_g)
             * (cfg.guidance_scale_max[stage] - cfg.guidance_scale_min[stage])
@@ -217,9 +235,13 @@ class FlashDiffusionSD3(FlashDiffusion):
         if cfg.distill_loss_type == "lpips":
             s = center_crop(student_output, cfg.lpips_crop)
             t = center_crop(teacher_output, cfg.lpips_crop)
-            dec_s = jnp.clip(self.vae.apply(frozen["vae"], s, method=self.vae.decode_latents), -1, 1)
-            dec_t = jnp.clip(self.vae.apply(frozen["vae"], t, method=self.vae.decode_latents), -1, 1)
-            return jnp.mean(self.lpips.apply(frozen["lpips"], dec_s, dec_t))
+
+            def lp(s_, t_):  # checkpointed — see FlashDiffusion._distill_loss
+                dec_s = jnp.clip(self.vae.apply(frozen["vae"], s_, method=self.vae.decode_latents), -1, 1)
+                dec_t = jnp.clip(self.vae.apply(frozen["vae"], t_, method=self.vae.decode_latents), -1, 1)
+                return jnp.mean(self.lpips.apply(frozen["lpips"], dec_s, dec_t))
+
+            return jax.checkpoint(lp)(s, t)
         return {"l2": l2_loss, "l1": l1_loss, "huber": huber_loss}[cfg.distill_loss_type](
             student_output, teacher_output
         )

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
@@ -74,10 +75,25 @@ class TrainingPipeline:
         disc_init: Optional[Dict[str, Any]] = None,
         mesh=None,
         frozen_sharding: str = "replicated",  # replicated | fsdp
+        frozen_dtype=None,  # e.g. jnp.bfloat16: storage dtype for frozen trees
     ):
         self.model = model
         self.config = config
         self.mesh = mesh if mesh is not None else create_mesh()
+        if frozen_dtype is not None:
+            # The model bodies compute in bf16 (flax promote_dtype casts
+            # kernels at use), so fp32 storage of the FROZEN trees (teacher/
+            # vae/text encoders) only doubles their HBM reads in the K-step
+            # rollout and their resident footprint — cast float leaves to the
+            # storage dtype up front. Numerics are unchanged: the same bf16
+            # cast already happened per-op. Trainable/optimizer/EMA state
+            # stays fp32.
+            frozen = jax.tree_util.tree_map(
+                lambda x: x.astype(frozen_dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                frozen,
+            )
         if frozen_sharding == "fsdp":
             # shard big frozen weights (teacher/vae/text encoders) over the
             # data axis; XLA gathers on use — memory scales with devices
@@ -90,6 +106,24 @@ class TrainingPipeline:
         self._disc_init = disc_init if disc_init is not None else {}
         self._step_fns: Dict[Tuple[int, Optional[str]], Callable] = {}
         self._eval_fns: Dict[int, Callable] = {}
+        # Staged conditioning: jit the 3 conditioner passes separately so the
+        # text-encoder towers live in their own (cachable) compile, not the
+        # train-step graph — the SDXL/SD3 step graph with in-graph encoders
+        # is large enough to OOM the XLA compiler, and the towers' outputs
+        # are reused by both alternating phases.
+        if getattr(model, "conditioner", None) is not None:
+            self._cond_fn = jax.jit(
+                lambda frozen, batch, rng: model._conditionings(frozen, batch, rng)
+            )
+        else:
+            self._cond_fn = None
+        # Same staging for the (stop-grad, frozen) VAE encode.
+        if getattr(model, "vae", None) is not None:
+            self._encode_fn = jax.jit(
+                lambda frozen, batch, rng: model._encode(frozen, batch, rng)
+            )
+        else:
+            self._encode_fn = None
         self.alternating = getattr(model.config, "gan_update_mode", "simultaneous") == "alternating"
         self.is_wgan = getattr(model.config, "gan_loss_type", "") == "wgan"
 
@@ -228,6 +262,14 @@ class TrainingPipeline:
             if i >= max_batches:
                 break
             batch = shard_batch(self._numeric_batch(batch), self.mesh)
+            if self._cond_fn is not None:
+                batch["__conds"] = self._cond_fn(
+                    self.frozen, batch, jax.random.PRNGKey(0)
+                )
+            if self._encode_fn is not None:
+                batch["__z"] = self._encode_fn(
+                    self.frozen, batch, jax.random.PRNGKey(1)
+                )
             aux = self._eval_fns[stage](state, self.frozen, batch)
             for k, v in aux.items():
                 if jnp.ndim(v) == 0:
@@ -273,7 +315,26 @@ class TrainingPipeline:
                 logger.info("stage %d: switched teacher to merged student", stage)
             prev_stage = stage
             batch = shard_batch(self._numeric_batch(batch), self.mesh)
+            stage_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5EED), step)
+            if self._cond_fn is not None:
+                batch["__conds"] = self._cond_fn(self.frozen, batch, stage_rng)
+            if self._encode_fn is not None:
+                batch["__z"] = self._encode_fn(
+                    self.frozen, batch, jax.random.fold_in(stage_rng, 1)
+                )
             phase = ("g" if step % 2 == 0 else "d") if self.alternating else None
+            if os.environ.get("FLASH_TPU_COMPILE_ONLY"):
+                # diagnostic: AOT-compile the step and report its memory
+                # needs without executing (HBM OOMs at execution are async
+                # and detail-free through remote runtimes)
+                compiled = (
+                    self.step_fn_for_stage(stage, phase)
+                    .lower(state, self.frozen, batch)
+                    .compile()
+                )
+                ma = compiled.memory_analysis()
+                print("step memory_analysis:", ma, flush=True)
+                return state
             state, aux = self.step_fn_for_stage(stage, phase)(state, self.frozen, batch)
 
             if (step + 1) % 10 == 0 and jax.process_index() == 0:

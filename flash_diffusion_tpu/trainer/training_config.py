@@ -51,6 +51,9 @@ class TrainingConfig(BaseConfig):
     # lora/disc split already partitions the two groups)
     trainable_params: Optional[List[List[str]]] = None
     gradient_clip_norm: Optional[float] = None
+    # Adam/AdamW first-moment storage dtype (None = fp32). bf16 by default:
+    # halves mu's HBM with negligible effect at distillation LRs (1e-5).
+    adam_mu_dtype: Optional[str] = "bfloat16"
     log_keys: List[str] = field(default_factory=lambda: ["text"])
     log_samples_model_kwargs: Dict[str, Any] = field(
         default_factory=lambda: dict(num_steps=[1, 2, 4], guidance_scale=1.0)
@@ -86,6 +89,11 @@ class TrainingConfig(BaseConfig):
         if self.lr_schedulers_name and self.lr_schedulers_name[index]:
             sched_kwargs = (self.lr_schedulers_kwargs or [{}] * len(self.optimizers_name))[index] or {}
             lr = _SCHEDULES[self.lr_schedulers_name[index]](lr, **sched_kwargs)
+        if name in ("Adam", "AdamW") and "mu_dtype" not in kwargs and self.adam_mu_dtype:
+            # first-moment in reduced precision (standard large-scale
+            # practice): halves a third of the optimizer-state HBM; the
+            # second moment and params stay fp32
+            kwargs["mu_dtype"] = self.adam_mu_dtype
         tx = _OPTIMIZERS[name](lr, **kwargs)
         if self.gradient_clip_norm:
             tx = optax.chain(optax.clip_by_global_norm(self.gradient_clip_norm), tx)
