@@ -35,7 +35,7 @@ import numpy as np
 from pydantic.dataclasses import dataclass
 
 from ..config import BaseConfig
-from ..lora import merge_lora
+from ..lora import lora_collection, lora_is_dense_only, merge_lora
 from ..schedulers import REGISTRY, SchedulerConfig
 from ..schedulers import add_noise as vp_add_noise
 from ..schedulers import base as sched_base
@@ -75,6 +75,11 @@ class FlashDiffusionConfig(BaseConfig):
     mode_probs: Optional[List[List[float]]] = None
     use_teacher_as_real: bool = False
     use_empty_prompt: bool = False
+    # "sidepath": apply LoRA factors inside LoraDense layers via the
+    # "lora" variable collection — no merged params copy in HBM (the
+    # TPU-first default; auto-falls-back to merge for conv LoRA pairs).
+    # "merge": reference-style weight merge (one shared merged tree).
+    lora_mode: Literal["sidepath", "merge"] = "sidepath"
     # rematerialize the LoRA-merge + student forward as one checkpointed
     # segment (trades ~1 extra student forward in the backward for not
     # holding the params-sized merged tree across the rollout/DMD/GAN
@@ -200,17 +205,28 @@ class FlashDiffusion:
         return merge_lora(base, lora, self.lora_scaling)
 
     def _student_forward(self, frozen, lora, x, t, cond, adapter_res=None):
-        """Merge-at-use under ``jax.checkpoint``: the merged student tree is
-        a full params-sized copy (SDXL bf16: ~5 GB) — materializing it once
-        per segment and rematerializing in the backward keeps it an
-        ephemeral temp instead of a live buffer across the K-step teacher
-        rollout / DMD / GAN segments. The merge itself is rank-r matmuls —
-        negligible recompute."""
+        """Student forward without a pre-merged tree.
+
+        Preferred path (``lora_mode="sidepath"``): thread the factor pairs
+        through the ``"lora"`` variable collection so each ``LoraDense``
+        computes ``x·W + (x·A)·B`` in place — no params-sized merged copy
+        in HBM at all (SDXL bf16: ~3.5 GB saved per step) and autodiff
+        yields dA/dB directly. Falls back to weight merging when the lora
+        tree carries conv (4-D) pairs, optionally rematerialized
+        (``remat_student_merge``)."""
+        kw = {"adapter_residuals": adapter_res} if adapter_res is not None else {}
+        base = frozen.get("student_base") or frozen["teacher"]
+        if (
+            getattr(self.config, "lora_mode", "sidepath") == "sidepath"
+            and lora_is_dense_only(lora)
+        ):
+            variables = {**base, "lora": lora_collection(lora, self.lora_scaling)}
+            return self.student_module.apply(variables, x, t, cond, **kw)
 
         def f(lora_, x_, t_, cond_, adapter_):
             p = self.student_params(frozen, lora_)
-            kw = {"adapter_residuals": adapter_} if adapter_ is not None else {}
-            return self.student_module.apply(p, x_, t_, cond_, **kw)
+            kw_ = {"adapter_residuals": adapter_} if adapter_ is not None else {}
+            return self.student_module.apply(p, x_, t_, cond_, **kw_)
 
         if getattr(self.config, "remat_student_merge", False):
             f = jax.checkpoint(f)
@@ -429,8 +445,12 @@ class FlashDiffusion:
         noisy_init = is_start * pure + (1.0 - is_start) * noisy_from_z
 
         noisy_in = self.teacher_sched_mod.scale_model_input(sched, noisy_init, start_idx)
-        if cfg.remat_student_merge:
-            student_params = None  # merge-at-use inside the checkpointed fwd
+        sidepath = (
+            getattr(cfg, "lora_mode", "sidepath") == "sidepath"
+            and lora_is_dense_only(trainable["lora"])
+        )
+        if sidepath or cfg.remat_student_merge:
+            student_params = None  # no merged tree (side path / remat merge)
             student_pred = self._student_forward(
                 frozen, trainable["lora"], noisy_in, t_b, student_cond, adapter_res
             )

@@ -132,8 +132,14 @@ class FlashDiffusionSD3(FlashDiffusion):
         is_start = (start_idx == 0).astype(z.dtype)
         noisy_init = is_start * (noise * sched.init_noise_sigma) + (1.0 - is_start) * noisy_interp
 
-        if cfg.remat_student_merge:
-            student_params = None  # merge-at-use inside the checkpointed fwd
+        from ..lora import lora_is_dense_only
+
+        sidepath = (
+            getattr(cfg, "lora_mode", "sidepath") == "sidepath"
+            and lora_is_dense_only(trainable["lora"])
+        )
+        if sidepath or cfg.remat_student_merge:
+            student_params = None  # no merged tree (side path / remat merge)
             student_pred = self._student_forward(
                 frozen, trainable["lora"], noisy_init, t_b, student_cond
             )

@@ -82,6 +82,33 @@ def init_lora(
     return traverse_util.unflatten_dict(lora, sep="/")
 
 
+def scale_lora(lora: Dict[str, Any], scaling: float) -> Dict[str, Any]:
+    """Fold the alpha/rank scaling into the ``b`` factors (for side-path
+    application via the ``"lora"`` variable collection — models/layers.py
+    ``LoraDense``). No-op pytree copy when scaling == 1."""
+    if scaling == 1.0:
+        return lora
+    flat = traverse_util.flatten_dict(lora, sep="/")
+    out = {k: (v * scaling if k.endswith("/b") else v) for k, v in flat.items()}
+    return traverse_util.unflatten_dict(out, sep="/")
+
+
+def lora_collection(lora: Dict[str, Any], scaling: float = 1.0) -> Dict[str, Any]:
+    """The ``"lora"`` variable collection for ``module.apply``: the lora
+    tree minus the ``params`` root scope (module scopes must align), with
+    scaling folded into ``b``."""
+    lora = scale_lora(lora, scaling)
+    return lora.get("params", lora)
+
+
+def lora_is_dense_only(lora: Dict[str, Any]) -> bool:
+    """True when every factor pair is a Dense (2-D ``a``) pair — the
+    side-path (LoraDense) covers exactly these; conv pairs need the merge
+    path."""
+    flat = traverse_util.flatten_dict(lora, sep="/")
+    return all(v.ndim == 2 for k, v in flat.items() if k.endswith("/a"))
+
+
 def merge_lora(params: Dict[str, Any], lora: Dict[str, Any], scaling: float = 1.0) -> Dict[str, Any]:
     """W' = W + scaling · A·B on matched leaves (jit-safe; scaling is the
     lora_scaling(rank, alpha) coefficient times any runtime scale)."""

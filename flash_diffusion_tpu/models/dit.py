@@ -27,7 +27,7 @@ from pydantic.dataclasses import dataclass
 
 from ..config import BaseConfig
 from ..ops import layer_norm
-from .layers import Attention, TimestepEmbedMLP, timestep_embedding
+from .layers import Attention, LoraDense, TimestepEmbedMLP, timestep_embedding
 
 Cond = Optional[Dict[str, Dict[str, jnp.ndarray]]]
 
@@ -164,9 +164,9 @@ class PixartBlock(nn.Module):
             )(x, context=context, bias=context_bias)
         h = layer_norm(x, eps=1e-6) * (1 + scale_mlp) + shift_mlp
         inner = int(d * self.mlp_ratio)
-        h = nn.Dense(inner, dtype=self.dtype, name="ff_in")(h)
+        h = LoraDense(inner, dtype=self.dtype, name="ff_in")(h)
         h = nn.gelu(h, approximate=True)
-        h = nn.Dense(d, dtype=self.dtype, name="ff_out")(h)
+        h = LoraDense(d, dtype=self.dtype, name="ff_out")(h)
         return x + gate_mlp * h
 
 

@@ -43,6 +43,54 @@ def timestep_embedding(
     return emb
 
 
+class LoraDense(nn.Module):
+    """``nn.Dense`` drop-in (same param names/inits → identical param tree
+    and checkpoint border) that additionally reads an OPTIONAL low-rank
+    factor pair from the ``"lora"`` variable collection and applies it as a
+    side path: ``y = x·W (+bias) + (x·A)·B``.
+
+    This is the TPU-first alternative to weight-merged LoRA for training:
+    merging (reference: peft ``add_adapter`` materializes per-module deltas;
+    our ``lora.merge_lora`` materializes a full merged tree) costs a
+    params-sized HBM temp per step (~3.5 GB for SDXL bf16) plus the write/
+    read bandwidth; the side path adds only rank-r matmuls (~r/d extra
+    FLOPs) and lets autodiff produce dA/dB directly without a params-sized
+    cotangent contraction. The ``lora`` collection mirrors the params tree:
+    ``{...module scopes..., "kernel": {"a": [in, r], "b": [r, out]}}`` —
+    exactly ``lora.init_lora``'s layout (fold any alpha/rank scaling into
+    ``b`` before ``apply``, see ``lora.scale_lora``).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        ab = None
+        if not self.is_initializing() and self.has_variable("lora", "kernel"):
+            ab = self.get_variable("lora", "kernel")
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = x @ kernel
+        if ab is not None:
+            a = ab["a"].astype(y.dtype)
+            b = ab["b"].astype(y.dtype)
+            y = y + (x @ a) @ b
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class TimestepEmbedMLP(nn.Module):
     """linear → SiLU → linear time-embedding MLP (diffusers TimestepEmbedding)."""
 
@@ -154,7 +202,7 @@ class Attention(nn.Module):
         context = x if context is None else context
         inner = (self.head_dim or x.shape[-1] // self.num_heads) * self.num_heads
         out_dim = self.out_dim or x.shape[-1]
-        dense = lambda name: nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name=name)
+        dense = lambda name: LoraDense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name=name)
         q = dense("to_q")(x)
         k = dense("to_k")(context)
         v = dense("to_v")(context)
@@ -166,7 +214,7 @@ class Attention(nn.Module):
         v = v.reshape(b, context.shape[1], h, d)
         out = dot_product_attention(q, k, v, bias=bias)
         out = out.reshape(b, sq, inner)
-        return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+        return LoraDense(out_dim, dtype=self.dtype, name="to_out")(out)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -179,11 +227,11 @@ class GEGLUFeedForward(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         inner = dim * self.mult
-        x = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        x = LoraDense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         x, gate = jnp.split(x, 2, axis=-1)
         # diffusers GEGLU gates with EXACT gelu (F.gelu default), not tanh
         x = x * nn.gelu(gate, approximate=False)
-        return nn.Dense(dim, dtype=self.dtype, name="proj_out")(x)
+        return LoraDense(dim, dtype=self.dtype, name="proj_out")(x)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -223,7 +271,7 @@ class SpatialTransformer(nn.Module):
         b, hh, ww, c = x.shape
         residual = x
         x = GroupNorm(self.groups, eps=1e-6, name="norm")(x)
-        x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x.reshape(b, hh * ww, c))
+        x = LoraDense(c, dtype=self.dtype, name="proj_in")(x.reshape(b, hh * ww, c))
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 self.num_heads,
@@ -232,5 +280,5 @@ class SpatialTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, context=context)
-        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        x = LoraDense(c, dtype=self.dtype, name="proj_out")(x)
         return x.reshape(b, hh, ww, c) + residual

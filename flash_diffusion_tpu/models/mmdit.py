@@ -27,7 +27,7 @@ from pydantic.dataclasses import dataclass
 from ..config import BaseConfig
 from ..ops import dot_product_attention, layer_norm
 from .dit import get_2d_sincos_pos_embed
-from .layers import TimestepEmbedMLP, timestep_embedding
+from .layers import LoraDense, TimestepEmbedMLP, timestep_embedding
 
 Cond = Optional[Dict[str, Dict[str, jnp.ndarray]]]
 
@@ -88,7 +88,7 @@ class JointBlock(nn.Module):
         xn = layer_norm(x, eps=1e-6) * (1 + sc_msa) + sh_msa
         cn = layer_norm(c, eps=1e-6) * (1 + csc_msa) + csh_msa
 
-        dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
+        dense = lambda name: LoraDense(d, dtype=self.dtype, name=name)
         qx, kx, vx = dense("to_q")(xn), dense("to_k")(xn), dense("to_v")(xn)
         qc, kc, vc = dense("add_q_proj")(cn), dense("add_k_proj")(cn), dense("add_v_proj")(cn)
 
@@ -110,20 +110,20 @@ class JointBlock(nn.Module):
         attn = dot_product_attention(q, k, v).reshape(b, sx + sc, d)
         ax, ac = attn[:, :sx], attn[:, sx:]
 
-        x = x + g_msa * nn.Dense(d, dtype=self.dtype, name="to_out")(ax)
+        x = x + g_msa * LoraDense(d, dtype=self.dtype, name="to_out")(ax)
         hx = layer_norm(x, eps=1e-6) * (1 + sc_mlp) + sh_mlp
         inner = int(d * self.mlp_ratio)
-        hx = nn.Dense(inner, dtype=self.dtype, name="ff_in")(hx)
+        hx = LoraDense(inner, dtype=self.dtype, name="ff_in")(hx)
         hx = nn.gelu(hx, approximate=True)
-        x = x + g_mlp * nn.Dense(d, dtype=self.dtype, name="ff_out")(hx)
+        x = x + g_mlp * LoraDense(d, dtype=self.dtype, name="ff_out")(hx)
 
         if self.context_pre_only:
             return x, None
-        c = c + cg_msa * nn.Dense(d, dtype=self.dtype, name="to_add_out")(ac)
+        c = c + cg_msa * LoraDense(d, dtype=self.dtype, name="to_add_out")(ac)
         hc = layer_norm(c, eps=1e-6) * (1 + csc_mlp) + csh_mlp
-        hc = nn.Dense(inner, dtype=self.dtype, name="ff_context_in")(hc)
+        hc = LoraDense(inner, dtype=self.dtype, name="ff_context_in")(hc)
         hc = nn.gelu(hc, approximate=True)
-        c = c + cg_mlp * nn.Dense(d, dtype=self.dtype, name="ff_context_out")(hc)
+        c = c + cg_mlp * LoraDense(d, dtype=self.dtype, name="ff_context_out")(hc)
         return x, c
 
 

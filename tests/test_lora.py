@@ -75,3 +75,48 @@ def test_peft_safetensors_file_roundtrip(tmp_path):
     back, _ = load_peft_safetensors(path, PARAMS, prefix="unet")
     for a, b in zip(jax.tree_util.tree_leaves(lora), jax.tree_util.tree_leaves(back)):
         assert np.allclose(np.array(a), np.array(b), atol=1e-6)
+
+
+def test_sidepath_matches_merged_forward_and_grads_flow():
+    """LoraDense side path (y = x·W + (x·A)·B via the "lora" collection)
+    must equal the weight-merged forward; grads must reach every factor."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flash_diffusion_tpu.lora import (
+        init_lora,
+        lora_collection,
+        lora_is_dense_only,
+        merge_lora,
+    )
+    from flash_diffusion_tpu.models import UNet2DCondition, UNetConfig
+
+    unet = UNet2DCondition(
+        UNetConfig(
+            in_channels=4, out_channels=4, block_out_channels=[16, 32],
+            down_block_types=["CrossAttnDownBlock2D", "DownBlock2D"],
+            layers_per_block=1, transformer_layers_per_block=[1, 1],
+            num_heads=[2, 2], cross_attention_dim=16, norm_num_groups=8,
+        )
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 16, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    cond = {"cond": {"crossattn": jax.random.normal(rng, (2, 8, 16))}}
+    params = unet.init(jax.random.PRNGKey(1), x, t, cond)
+    lora = init_lora(params, rank=4, rng=jax.random.PRNGKey(2))
+    lora = jax.tree_util.tree_map(lambda v: v + 0.05, lora)  # nonzero delta
+    assert lora_is_dense_only(lora)
+
+    scaling = 1.37
+    y_merged = unet.apply(merge_lora(params, lora, scaling), x, t, cond)
+    y_side = unet.apply({**params, "lora": lora_collection(lora, scaling)}, x, t, cond)
+    np.testing.assert_allclose(np.array(y_side), np.array(y_merged), atol=1e-4)
+
+    def loss(l):
+        y = unet.apply({**params, "lora": lora_collection(l, scaling)}, x, t, cond)
+        return jnp.mean(y**2)
+
+    g = jax.grad(loss)(lora)
+    assert all(float(jnp.abs(v).sum()) > 0 for v in jax.tree_util.tree_leaves(g))
