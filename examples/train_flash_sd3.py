@@ -35,7 +35,7 @@ from flash_diffusion_tpu.models.embedders import (
 )
 from flash_diffusion_tpu.schedulers import SchedulerConfig
 from flash_diffusion_tpu.trainer import CheckpointCallback, MetricLogger, TrainingConfig, TrainingPipeline
-from flash_diffusion_tpu.utils.hf import import_clip_text, import_t5_encoder, import_vae
+from flash_diffusion_tpu.utils.hf import import_clip_text, import_sd3_mmdit, import_t5_encoder, import_vae
 
 
 def main():
@@ -67,8 +67,16 @@ def main():
             layer="hidden", layer_idx=-2, always_return_pooled=True, use_projection=True,
         )
     )
-    t5 = T5AsSD3Embedder(T5TextEmbedderConfig(input_key="text", max_length=cfg.get("T5_MAX_LENGTH", 77)))
-    conditioner = SD3Conditioner([clip_l, clip_g, t5])
+    # USE_T5: false = the diffusers text_encoder_3=None mode (zeros for the
+    # T5 stream) — drops ~9.4 GB of bf16 weights, the difference between
+    # fitting and not fitting a single 16 GB chip.
+    use_t5 = cfg.get("USE_T5", True)
+    if use_t5:
+        t5 = T5AsSD3Embedder(T5TextEmbedderConfig(input_key="text", max_length=cfg.get("T5_MAX_LENGTH", 77)))
+        conditioner = SD3Conditioner([clip_l, clip_g, t5])
+    else:
+        t5 = None
+        conditioner = SD3Conditioner([clip_l, clip_g], t5_dim=4096)
     disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=4))
 
     rng = jax.random.PRNGKey(cfg.get("SEED", 0))
@@ -79,8 +87,7 @@ def main():
     }
     teacher_params = maybe_import(
         os.path.join(root, "transformer/diffusion_pytorch_model.safetensors"),
-        lambda sd, c: (_ for _ in ()).throw(NotImplementedError("MMDiT HF import lands next round")),
-        mmdit_cfg, True,  # random-init until the MMDiT converter lands
+        import_sd3_mmdit, mmdit_cfg, args.random_init,
         lambda: init_params_shape_only(
             mmdit, jnp.zeros((1, lat, lat, 16)), jnp.zeros((1,), jnp.float32), dummy_cond
         ),
@@ -101,10 +108,14 @@ def main():
         import_clip_text, clip_g.encoder_config, args.random_init,
         lambda: clip_g.init(rng, tok_batch),
     )
-    params_t5 = maybe_import(
-        os.path.join(root, "text_encoder_3/model.safetensors"),
-        import_t5_encoder, t5.encoder_config, args.random_init,
-        lambda: t5.init(rng, tok_batch),
+    params_t5 = (
+        maybe_import(
+            os.path.join(root, "text_encoder_3/model.safetensors"),
+            import_t5_encoder, t5.encoder_config, args.random_init,
+            lambda: t5.init(rng, tok_batch),
+        )
+        if use_t5
+        else None
     )
     disc_params = disc.init(rng, jnp.zeros((1, lat, lat, 16)))
 
@@ -142,7 +153,7 @@ def main():
     frozen = {
         "teacher": teacher_params,
         "vae": vae_params,
-        "conditioners": [params_l, params_g, params_t5],
+        "conditioners": [params_l, params_g] + ([params_t5] if use_t5 else []),
     }
     train_cfg = TrainingConfig(
         learning_rates=[float(cfg["LR"]), float(cfg.get("LR_DISCRIMINATOR", cfg["LR"]))],

@@ -30,7 +30,19 @@ class T5AsSD3Embedder(T5TextEmbedder):
 
 
 class SD3Conditioner(ConditionerWrapper):
-    """Wrap [clip_l, clip_g, T5AsSD3Embedder] and pack to SD3 layout."""
+    """Wrap [clip_l, clip_g, T5AsSD3Embedder] and pack to SD3 layout.
+
+    ``t5_dim``: when the T5 tower is omitted (the diffusers-sanctioned
+    ``text_encoder_3=None`` mode — the SD3 pipeline substitutes zeros for
+    the T5 embed), pad the CLIP token stream with zeros to this joint
+    width (4096 for SD3-medium) so the MMDiT context embedder sees the
+    same input dim. Dropping T5-XXL saves ~9.4 GB of bf16 weights —
+    the difference between fitting and not fitting one 16 GB chip.
+    """
+
+    def __init__(self, conditioners, t5_dim: int = None):
+        super().__init__(conditioners)
+        self.t5_dim = t5_dim
 
     def __call__(self, params, batch, rng=None, ucg_keys=None, set_ucg_rate_zero=False):
         out = super().__call__(params, batch, rng, ucg_keys, set_ucg_rate_zero)
@@ -44,5 +56,10 @@ class SD3Conditioner(ConditionerWrapper):
             cond["crossattn"] = jnp.concatenate([clip_tokens, t5_tokens], axis=1)
         elif t5_tokens is not None:
             cond["crossattn"] = t5_tokens
+        elif clip_tokens is not None and self.t5_dim:
+            pad = self.t5_dim - clip_tokens.shape[-1]
+            if pad > 0:
+                clip_tokens = jnp.pad(clip_tokens, ((0, 0), (0, 0), (0, pad)))
+            cond["crossattn"] = clip_tokens
         cond.pop("attention_mask", None)  # MMDiT joint attention is unmasked
         return out

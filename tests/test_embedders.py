@@ -127,3 +127,34 @@ def test_wrapper_stochastic_ucg_traced():
     # jit-compatible
     f = jax.jit(lambda p, b, r: wrapper(p, b, rng=r)["cond"]["crossattn"])
     assert f(params, batch, jax.random.PRNGKey(2)).shape == (2, 6, 8)
+
+
+def test_sd3_conditioner_no_t5_pads_to_joint_dim():
+    """SD3Conditioner without a T5 tower (diffusers text_encoder_3=None
+    mode) zero-pads the CLIP token stream to t5_dim so the MMDiT context
+    embedder sees the same input width."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flash_diffusion_tpu.models.embedders import (
+        ClipEmbedder,
+        ClipEmbedderConfig,
+        SD3Conditioner,
+    )
+
+    clip = ClipEmbedder(
+        ClipEmbedderConfig(
+            input_key="text", text_embedder_config=TINY_CLIP, layer="hidden",
+            layer_idx=-2,
+        )
+    )
+    cond = SD3Conditioner([clip], t5_dim=64)
+    batch = {"text_ids": jnp.zeros((2, 6), jnp.int32)}
+    params = cond.init(jax.random.PRNGKey(0), batch)
+    out = cond(params, batch)["cond"]
+    tokens = out["crossattn"]
+    assert tokens.shape[-1] == 64
+    hidden = TINY_CLIP["hidden_size"]
+    assert np.all(np.asarray(tokens[..., hidden:]) == 0.0)  # zero pad
+    assert np.any(np.asarray(tokens[..., :hidden]) != 0.0)
