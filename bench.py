@@ -168,11 +168,19 @@ def bench_train(args):
     )
     from flash_diffusion_tpu.trainer import TrainingConfig, TrainingPipeline
 
+    from flash_diffusion_tpu.models import DiT, pixart_config
+
     dtype = jnp.bfloat16
     rng = jax.random.PRNGKey(0)
     if args.model == "sd3":
         return bench_train_sd3(args)
-    if args.model == "sdxl":
+    if args.model == "pixart":
+        batch = args.batch or 1
+        unet = DiT(pixart_config(sample_size=128, remat=True), dtype=dtype)
+        lat_hw, res = 128, 1024
+        cond = {"cond": {"crossattn": jnp.zeros((batch, 120, 4096), dtype)}}
+        mid_hw, mid_ch = lat_hw, 4  # disc on 4-ch latent-res features
+    elif args.model == "sdxl":
         batch = args.batch or 2
         unet = UNet2DCondition(sdxl_unet_config(remat=True), dtype=dtype)
         lat_hw, res = 128, 1024
@@ -182,18 +190,19 @@ def bench_train(args):
                 "vector": jnp.zeros((batch, 2816), dtype),
             }
         }
-        mid_hw = lat_hw // 4  # two downsamples, mid block at 1280ch
+        mid_hw, mid_ch = lat_hw // 4, 1280  # two downsamples, mid block at 1280ch
     else:
         batch = args.batch or 4
         unet = UNet2DCondition(sd15_unet_config(remat=True), dtype=dtype)
         lat_hw, res = 64, 512
         cond = {"cond": {"crossattn": jnp.zeros((batch, 77, 768), dtype)}}
-        mid_hw = lat_hw // 8
+        mid_hw, mid_ch = lat_hw // 8, 1280
     lat = jax.random.normal(rng, (batch, lat_hw, lat_hw, 4))
     t0 = jnp.zeros((batch,), jnp.int32)
     teacher = _zeros_bf16(jax.eval_shape(lambda: unet.init(rng, lat, t0, cond)))
-    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=1))
-    disc_params = disc.init(rng, jnp.zeros((batch, mid_hw, mid_hw, 1280)))
+    stages = 3 if args.model == "pixart" else 1
+    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=64, num_stages=stages))
+    disc_params = disc.init(rng, jnp.zeros((batch, mid_hw, mid_hw, mid_ch)))
     lora = init_lora(teacher, rank=64, rng=rng)
 
     class FixedCond:

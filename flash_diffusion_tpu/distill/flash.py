@@ -128,6 +128,13 @@ def _dup(tree):
     return jax.tree_util.tree_map(lambda x: jnp.concatenate([x, x], axis=0), tree)
 
 
+def _adapter_kw(adapter_res):
+    """Pass adapter_residuals only when present — DiT/MMDiT bodies take no
+    such parameter (the reference's transformer wrappers likewise swallow
+    the kwarg, tranformers.py:49-57 **kwargs)."""
+    return {"adapter_residuals": adapter_res} if adapter_res is not None else {}
+
+
 class FlashDiffusion:
     """Holds static wiring; all compute methods are pure in (params, batch, rng).
 
@@ -279,7 +286,7 @@ class FlashDiffusion:
             inp = mod.scale_model_input(sched, sample, i)
             both = jnp.concatenate([inp, inp], axis=0)
             pred2 = self.teacher_module.apply(
-                frozen["teacher"], both, t2, cond2, adapter_residuals=adapter2
+                frozen["teacher"], both, t2, cond2, **_adapter_kw(adapter2)
             )
             pred_c, pred_u = jnp.split(pred2, 2, axis=0)
             pred = guidance * pred_c + (1.0 - guidance) * pred_u
@@ -343,7 +350,7 @@ class FlashDiffusion:
         pred2 = sg(
             self.teacher_module.apply(
                 frozen["teacher"], sg(jnp.concatenate([noisy, noisy])), t2, cond2,
-                adapter_residuals=adapter2,
+                **_adapter_kw(adapter2),
             )
         )
         real_c, real_u = jnp.split(pred2, 2, axis=0)
@@ -357,7 +364,7 @@ class FlashDiffusion:
             fake = sg(
                 self.student_module.apply(
                     student_params, sg(noisy), t, student_cond,
-                    adapter_residuals=adapter_res,
+                    **_adapter_kw(adapter_res),
                 )
             )
         g = (
@@ -392,7 +399,8 @@ class FlashDiffusion:
         adapter2 = [jnp.concatenate([r, r]) for r in adapter_res] if adapter_res else None
         t2 = jnp.concatenate([ts, ts])
         _, feats = self.teacher_module.apply(
-            frozen["teacher"], both, t2, cond2, adapter_residuals=adapter2, return_features=True
+            frozen["teacher"], both, t2, cond2, return_features=True,
+            **_adapter_kw(adapter2),
         )
         f_fake, f_real = jnp.split(feats, 2, axis=0)
 
@@ -460,7 +468,7 @@ class FlashDiffusion:
             student_params = self.student_params(frozen, trainable["lora"])
             student_pred = self.student_module.apply(
                 student_params, noisy_in, t_b, student_cond,
-                adapter_residuals=adapter_res,
+                **_adapter_kw(adapter_res),
             )
         c_skip, c_out = boundary_scalings(t_b, cfg.sigma_data, cfg.timestep_scaling)
         c_skip = c_skip.reshape(-1, 1, 1, 1)
@@ -598,12 +606,12 @@ class FlashDiffusion:
             if do_cfg:
                 both = jnp.concatenate([inp, inp], axis=0)
                 t2 = jnp.broadcast_to(t, (2 * b,))
-                pred2 = module.apply(params, both, t2, cond2, adapter_residuals=adapter2)
+                pred2 = module.apply(params, both, t2, cond2, **_adapter_kw(adapter2))
                 pc, pu = jnp.split(pred2, 2, axis=0)
                 pred = g_scale * pc + (1.0 - g_scale) * pu
             else:
                 t1 = jnp.broadcast_to(t, (b,))
-                pred = module.apply(params, inp, t1, cond2, adapter_residuals=adapter2)
+                pred = module.apply(params, inp, t1, cond2, **_adapter_kw(adapter2))
             key, sub = jax.random.split(key)
             step_key = sub if stochastic else None
             if has_carry:

@@ -222,14 +222,11 @@ class DiT(nn.Module):
                 # [B, S_kv] -> additive bias [B, 1, 1, S_kv]
                 context_bias = jnp.where(attn_mask[:, None, None, :] > 0, 0.0, -1e9)
 
-        features = None
         Block = nn.remat(PixartBlock) if cfg.remat else PixartBlock
         for i in range(cfg.depth):
             x = Block(d, cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype, name=f"block_{i}")(
                 x, mod6, context=context, context_bias=context_bias
             )
-            if return_features and i == cfg.depth // 2 - 1:
-                features = x.reshape(b, gh, gw, d)
 
         table_out = self.param(
             "scale_shift_table_out", nn.initializers.normal(1.0 / math.sqrt(d)), (2, d)
@@ -246,5 +243,10 @@ class DiT(nn.Module):
         # reference tranformers.py:91)
         out = x[..., : cfg.in_channels].astype(jnp.float32)
         if return_features:
-            return out, features
+            # Reference parity: the Pixart wrapper's forward swallows
+            # ``return_intermediate`` in **kwargs (reference
+            # tranformers.py:49-91 — no such parameter), so the GAN
+            # "features" the 4-channel discriminator consumes are simply the
+            # denoised output latents (train_flash_pixart.py:278 color_dim=4).
+            return out, out.astype(self.dtype)
         return out

@@ -146,3 +146,56 @@ def test_all_gan_variants_partition(loss_type):
     g_fake, g_disc = jax.grad(total)((fake, params))
     assert sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g_fake)) > 0
     assert sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g_disc)) > 0
+
+
+def test_pixart_dit_gan_train_path():
+    """Pixart family GAN path: the DiT 'features' are the 4-channel denoised
+    output (reference swallows return_intermediate for transformers —
+    train_flash_pixart.py builds a color_dim=4 discriminator), so a 4-ch
+    disc must train against a DiT teacher end-to-end."""
+    from flash_diffusion_tpu.models import DiT, DiTConfig
+    from flash_diffusion_tpu.trainer import TrainingConfig, TrainingPipeline
+
+    dit = DiT(
+        DiTConfig(
+            in_channels=C, out_channels=2 * C, hidden_size=32, depth=2,
+            num_heads=2, patch_size=2, cross_attention_dim=24,
+            num_vector_embeds=0, sample_size=HW,
+        )
+    )
+    x = jnp.zeros((B, HW, HW, C))
+    t = jnp.zeros((B,), jnp.int32)
+    cond = {"cond": {"crossattn": jnp.ones((B, 6, 24))}}
+    teacher = dit.init(jax.random.PRNGKey(0), x, t, cond)
+    lora = init_lora(teacher, rank=2, rng=jax.random.PRNGKey(1))
+    disc = ConvDiscriminator(DiscriminatorConfig(feature_dim=8, num_stages=1))
+    disc_params = disc.init(jax.random.PRNGKey(2), jnp.zeros((B, HW, HW, C)))
+
+    class FixedCond:
+        def __call__(self, params, b, rng=None, ucg_keys=None, set_ucg_rate_zero=False):
+            c = dict(cond["cond"])
+            if ucg_keys:
+                c = {k: jnp.zeros_like(v) for k, v in c.items()}
+            return {"cond": c}
+
+        def init(self, rng, b):
+            return []
+
+    model = FlashDiffusion(
+        FlashDiffusionConfig(
+            K=[2], num_iterations_per_K=[10], guidance_scale_min=1.0,
+            guidance_scale_max=2.0, timestep_distribution="uniform",
+            gan_loss_type="hinge",
+        ),
+        student_module=dit, teacher_module=dit, conditioner=FixedCond(),
+        discriminator=disc, lora_scaling=lora_scaling(2),
+    )
+    pipe = TrainingPipeline(
+        model, TrainingConfig(learning_rates=[1e-3, 1e-3]),
+        frozen={"teacher": teacher, "conditioners": []},
+        lora_init=lora, disc_init=disc_params,
+    )
+    state = pipe.init_state()
+    state, aux = pipe.step_fn_for_stage(0)(state, pipe.frozen, {"image": x})
+    assert np.isfinite(float(aux["loss/generator"]))
+    assert np.isfinite(float(aux["loss/gan_d"]))

@@ -114,7 +114,11 @@ def test_dit_shapes_and_vector_conditioning(rng):
     out = model.apply(params, x, t, cond)
     assert out.shape == (2, 8, 8, 4)  # out_channels=8 cropped to in_channels
     out_f, feats = model.apply(params, x, t, cond, return_features=True)
-    assert feats.shape == (2, 4, 4, 32)
+    # reference parity: the Pixart wrapper swallows return_intermediate, so
+    # GAN "features" are the 4-ch denoised output (4-ch discriminator,
+    # reference train_flash_pixart.py:278)
+    assert feats.shape == (2, 8, 8, 4)
+    assert np.allclose(np.array(out), np.array(feats), atol=1e-2)
     assert np.allclose(np.array(out), np.array(out_f))
 
 
