@@ -84,7 +84,7 @@ def main():
     t5_params = maybe_import(
         os.path.join(root, "text_encoder/model.safetensors"),
         import_t5_encoder, t5.encoder_config, args.random_init,
-        lambda: t5.init(rng, {"text_ids": jnp.zeros((1, 120), jnp.int32)}),
+        lambda: init_params_shape_only(t5, {"text_ids": jnp.zeros((1, 120), jnp.int32)}),
     )
     disc_params = disc.init(rng, jnp.zeros((1, lat, lat, 4)))
 

@@ -101,18 +101,18 @@ def main():
     params_l = maybe_import(
         os.path.join(root, "text_encoder/model.safetensors"),
         import_clip_text, clip_l.encoder_config, args.random_init,
-        lambda: clip_l.init(rng, tok_batch),
+        lambda: init_params_shape_only(clip_l, tok_batch),
     )
     params_g = maybe_import(
         os.path.join(root, "text_encoder_2/model.safetensors"),
         import_clip_text, clip_g.encoder_config, args.random_init,
-        lambda: clip_g.init(rng, tok_batch),
+        lambda: init_params_shape_only(clip_g, tok_batch),
     )
     params_t5 = (
         maybe_import(
             os.path.join(root, "text_encoder_3/model.safetensors"),
             import_t5_encoder, t5.encoder_config, args.random_init,
-            lambda: t5.init(rng, tok_batch),
+            lambda: init_params_shape_only(t5, tok_batch),
         )
         if use_t5
         else None

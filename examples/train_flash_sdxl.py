@@ -106,12 +106,12 @@ def main():
     clip_l_params = maybe_import(
         os.path.join(root, "text_encoder/model.safetensors"),
         import_clip_text, clip_l.encoder_config, args.random_init,
-        lambda: clip_l.init(rng, tok_batch),
+        lambda: init_params_shape_only(clip_l, tok_batch),
     )
     clip_g_params = maybe_import(
         os.path.join(root, "text_encoder_2/model.safetensors"),
         import_clip_text, clip_g.encoder_config, args.random_init,
-        lambda: clip_g.init(rng, tok_batch),
+        lambda: init_params_shape_only(clip_g, tok_batch),
     )
     disc_params = disc.init(rng, jnp.zeros((1, mid_hw, mid_hw, 1280)))
 
