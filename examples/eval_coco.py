@@ -7,9 +7,12 @@ code; reference README.md:57).
         --inception /weights/inception_v3_google.pth --max-batches 200
 
 Shard samples need an image (jpg/png) + caption (txt or json["caption"]).
-Reports InceptionV3-pool3 FID (canonical, when --inception given) and/or
-CLIP-FID + CLIPScore (when CLIP vision weights are present under
---weights-root image_encoder/)."""
+Reports InceptionV3-pool3 FID (when --inception given; torchvision-weight
+based — internally consistent, not directly comparable to published FID
+tables, see models/inception.py) and/or CLIP-FID (CLIP vision weights under
+--weights-root image_encoder/). CLIPScore additionally requires the matched
+text tower: put a FULL CLIP checkpoint (both towers + text_projection, e.g.
+openai/clip-vit-large-patch14 model.safetensors) at image_encoder/."""
 
 import argparse
 import json
@@ -116,7 +119,7 @@ def main():
 
         inception_params = load_inception_v3(args.inception)
 
-    vision_module = vision_params = None
+    vision_module = vision_params = text_embed_fn = None
     clip_vis = os.path.join(args.weights_root or "", "image_encoder/model.safetensors")
     if os.path.exists(clip_vis):
         from flash_diffusion_tpu.models.vision import CLIPVisionConfig, CLIPVisionModel
@@ -124,7 +127,35 @@ def main():
 
         cfg = CLIPVisionConfig(hidden_size=1024, intermediate_size=4096, num_layers=24, num_heads=16, projection_dim=768)  # ViT-L/14
         vision_module = CLIPVisionModel(cfg)
-        vision_params = import_clip_vision(load_torch_state_dict(clip_vis), cfg)
+        sd = load_torch_state_dict(clip_vis)
+        vision_params = import_clip_vision(sd, cfg)
+        # CLIPScore needs the matched PROJECTED text tower. A full CLIP
+        # checkpoint (openai/clip-vit-large-patch14) carries both towers in
+        # one file; when the text side + text_projection are present, build
+        # the text embedder so evaluate() reports clip_score too.
+        if "text_projection.weight" in sd:
+            import jax
+            import numpy as np
+
+            from flash_diffusion_tpu.models.text_encoders import (
+                CLIPTextModel,
+                clip_l_config,
+            )
+            from flash_diffusion_tpu.utils.hf import import_clip_text
+
+            tcfg = clip_l_config(projection_dim=768)
+            text_module = CLIPTextModel(tcfg)
+            text_params = import_clip_text(sd, tcfg)
+            embed_text = jax.jit(
+                lambda ids: text_module.apply(
+                    text_params, ids, output_hidden_states=False
+                )["text_embeds"]
+            )
+
+            def text_embed_fn(batch):
+                texts = list(batch.get("text", []))
+                ids = tokenizer_fn(texts or [""] * batch["image"].shape[0])["text_ids"]
+                return embed_text(np.asarray(ids))
 
     if inception_params is None and vision_params is None:
         raise SystemExit(
@@ -137,6 +168,7 @@ def main():
         batches(),
         vision_module=vision_module,
         vision_params=vision_params,
+        text_embed_fn=text_embed_fn,
         num_inference_steps=args.steps,
         guidance_scale=args.guidance_scale,
         max_batches=args.max_batches,

@@ -267,14 +267,26 @@ def from_kohya(
     kohya keys flatten module paths with ``_``, which is ambiguous against
     path components that themselves contain underscores — resolve by
     matching against the module paths that actually carry LoRA leaves in
-    ``base_params`` (plus ``name_map`` values), longest match first.
+    ``base_params`` (plus ``name_map`` values). Two distinct module paths
+    that flatten to the same key cannot be told apart from the flat name at
+    all, so that is an error here rather than a silent mis-assignment.
     """
     candidates = {}
+
+    def add_candidate(flat: str, mod: str):
+        prev = candidates.get(flat)
+        if prev is not None and prev != mod:
+            raise ValueError(
+                f"ambiguous kohya flattening: modules {prev!r} and {mod!r} "
+                f"both flatten to {flat!r}; rename one via name_map"
+            )
+        candidates[flat] = mod
+
     for p in lora_paths(base_params, targets=(".*",)):
         mod = p[: -len("/kernel")] if p.endswith("/kernel") else p
-        candidates[mod.replace("/", ".").replace(".", "_")] = mod
+        add_candidate(mod.replace("/", ".").replace(".", "_"), mod)
     for mod in (name_map or {}).values():
-        candidates[mod.replace("/", ".").replace(".", "_")] = mod
+        add_candidate(mod.replace("/", ".").replace(".", "_"), mod)
     inv = {v: k for k, v in (name_map or {}).items()}
 
     lora: Dict[str, Any] = {}

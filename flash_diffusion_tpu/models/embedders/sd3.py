@@ -35,14 +35,21 @@ class SD3Conditioner(ConditionerWrapper):
     ``t5_dim``: when the T5 tower is omitted (the diffusers-sanctioned
     ``text_encoder_3=None`` mode — the SD3 pipeline substitutes zeros for
     the T5 embed), pad the CLIP token stream with zeros to this joint
-    width (4096 for SD3-medium) so the MMDiT context embedder sees the
-    same input dim. Dropping T5-XXL saves ~9.4 GB of bf16 weights —
-    the difference between fitting and not fitting one 16 GB chip.
+    width (4096 for SD3-medium) AND append a block of
+    ``(B, t5_fallback_len, t5_dim)`` zero "T5 tokens" on the sequence
+    axis, exactly as diffusers' ``SD3Pipeline._get_t5_prompt_embeds``
+    does with ``text_encoder_3=None`` (zeros of length
+    ``tokenizer_max_length`` = 77) — the pretrained MMDiT teacher was
+    trained on the 77+77=154-token joint context and its predictions
+    shift if the zero block is dropped. Dropping T5-XXL saves ~9.4 GB of
+    bf16 weights — the difference between fitting and not fitting one
+    16 GB chip.
     """
 
-    def __init__(self, conditioners, t5_dim: int = None):
+    def __init__(self, conditioners, t5_dim: int = None, t5_fallback_len: int = 77):
         super().__init__(conditioners)
         self.t5_dim = t5_dim
+        self.t5_fallback_len = t5_fallback_len
 
     def __call__(self, params, batch, rng=None, ucg_keys=None, set_ucg_rate_zero=False):
         out = super().__call__(params, batch, rng, ucg_keys, set_ucg_rate_zero)
@@ -60,6 +67,12 @@ class SD3Conditioner(ConditionerWrapper):
             pad = self.t5_dim - clip_tokens.shape[-1]
             if pad > 0:
                 clip_tokens = jnp.pad(clip_tokens, ((0, 0), (0, 0), (0, pad)))
-            cond["crossattn"] = clip_tokens
+            # diffusers text_encoder_3=None: concat 77 zero T5 tokens on the
+            # sequence axis so the joint context keeps its trained length.
+            zeros_t5 = jnp.zeros(
+                (clip_tokens.shape[0], self.t5_fallback_len, self.t5_dim),
+                clip_tokens.dtype,
+            )
+            cond["crossattn"] = jnp.concatenate([clip_tokens, zeros_t5], axis=1)
         cond.pop("attention_mask", None)  # MMDiT joint attention is unmasked
         return out

@@ -1,10 +1,17 @@
-"""InceptionV3 pool3 feature extractor (canonical FID features), flax/NHWC.
+"""InceptionV3 pool3 feature extractor (FID features), flax/NHWC.
 
 First-party re-implementation of torchvision's ``inception_v3`` trunk
-(through the 2048-d global-average pool — the "pool3" features every
-published FID number uses). The reference publishes COCO FID claims with no
-in-repo eval code (reference README.md:57; SURVEY.md §6), so this plus
-eval/metrics.py IS the framework's quality gate.
+(through the 2048-d global-average pool). The reference publishes COCO FID
+claims with no in-repo eval code (reference README.md:57; SURVEY.md §6), so
+this plus eval/metrics.py IS the framework's quality gate.
+
+Comparability caveat: published FID numbers (pytorch-fid / the original TF
+implementation) use the ``pt_inception-2015-12-05`` checkpoint with modified
+blocks (FIDInceptionA/C/E: ``count_include_pad=False`` avg-pools, a max-pool
+branch in E_2). This port follows torchvision's stock ``inception_v3``
+semantics and loads torchvision weights, so FID values computed here are
+internally consistent (valid for A/B comparisons and training curves) but
+NOT directly comparable to published COCO FID tables.
 
 Inference-only: BatchNorm is folded into per-channel (scale, bias) applied
 after each conv — ``import_inception_v3`` computes them from a torchvision

@@ -94,6 +94,8 @@ class TrainingPipeline:
                 else x,
                 frozen,
             )
+        self._frozen_dtype = frozen_dtype
+        self._frozen_sharding = frozen_sharding
         if frozen_sharding == "fsdp":
             # shard big frozen weights (teacher/vae/text encoders) over the
             # data axis; XLA gathers on use — memory scales with devices
@@ -200,7 +202,9 @@ class TrainingPipeline:
                     disc = clip_disc_weights(disc, wgan_clip)
 
             ema = state.ema
-            if ema_decay and jax.tree_util.tree_leaves(state.ema):
+            # "d"-phase steps leave the lora tree untouched — decaying the EMA
+            # there would halve its time constant vs the simultaneous mode.
+            if ema_decay and phase != "d" and jax.tree_util.tree_leaves(state.ema):
                 ema = update_ema(state.ema, lora, ema_decay)
 
             new_state = TrainState(
@@ -210,6 +214,31 @@ class TrainingPipeline:
             return new_state, aux
 
         return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _merged_teacher(self, lora):
+        """Merge the student LoRA into the teacher tree (switch_teacher)
+        while preserving the frozen-tree memory regime: the merge runs under
+        jit with a cast back to ``frozen_dtype`` (no eager fp32 promotion of
+        a bf16 teacher — that would double its HBM and force every cached
+        step fn to recompile on the dtype change), and the result is
+        re-placed with the configured frozen sharding (fsdp or replicated)."""
+        dtype = self._frozen_dtype
+
+        def merge(frozen, lora):
+            merged = self.model.student_params(frozen, lora)
+            if dtype is not None:
+                merged = jax.tree_util.tree_map(
+                    lambda x: x.astype(dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating)
+                    else x,
+                    merged,
+                )
+            return merged
+
+        merged = jax.jit(merge)(self.frozen, lora)
+        if self._frozen_sharding == "fsdp":
+            return shard_params_fsdp(merged, self.mesh)
+        return replicate(merged, self.mesh)
 
     def step_fn_for_stage(self, stage: int, phase: Optional[str] = None) -> Callable:
         key = (stage, phase)
@@ -308,7 +337,7 @@ class TrainingPipeline:
                 and self.model.config.K[stage] != self.model.config.K[prev_stage]
             ):
                 # teacher ← merged student at the stage boundary
-                merged = self.model.student_params(self.frozen, state.lora)
+                merged = self._merged_teacher(state.lora)
                 self.frozen = dict(self.frozen)
                 self.frozen["teacher"] = merged
                 self.frozen.pop("student_base", None)

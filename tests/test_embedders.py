@@ -149,12 +149,16 @@ def test_sd3_conditioner_no_t5_pads_to_joint_dim():
             layer_idx=-2,
         )
     )
-    cond = SD3Conditioner([clip], t5_dim=64)
+    cond = SD3Conditioner([clip], t5_dim=64, t5_fallback_len=5)
     batch = {"text_ids": jnp.zeros((2, 6), jnp.int32)}
     params = cond.init(jax.random.PRNGKey(0), batch)
     out = cond(params, batch)["cond"]
     tokens = out["crossattn"]
     assert tokens.shape[-1] == 64
+    # diffusers text_encoder_3=None: CLIP stream (6 tokens) + zero T5 block
+    # (t5_fallback_len tokens) on the sequence axis.
+    assert tokens.shape[1] == 6 + 5
     hidden = TINY_CLIP["hidden_size"]
-    assert np.all(np.asarray(tokens[..., hidden:]) == 0.0)  # zero pad
-    assert np.any(np.asarray(tokens[..., :hidden]) != 0.0)
+    assert np.all(np.asarray(tokens[:, :6, hidden:]) == 0.0)  # channel pad
+    assert np.any(np.asarray(tokens[:, :6, :hidden]) != 0.0)
+    assert np.all(np.asarray(tokens[:, 6:, :]) == 0.0)  # zero T5 tokens

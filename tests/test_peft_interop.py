@@ -184,3 +184,23 @@ def test_kohya_underscore_module_disambiguation():
     assert "lora_unet_down_blocks_0_to_q.lora_down.weight" in kohya
     lora2, _ = from_kohya(kohya, base)
     assert lora2["down_blocks_0"]["to_q"]["kernel"]["a"].shape == (8, 4)
+
+
+def test_kohya_flattened_key_collision_raises():
+    """Two module paths that flatten to the same kohya key are
+    indistinguishable from the flat name — from_kohya must raise instead of
+    silently mis-assigning tensors (ADVICE r2)."""
+    import pytest
+
+    from flash_diffusion_tpu.lora import from_kohya
+
+    base = {
+        "down": {"blocks_0": {"to_q": {"kernel": jnp.zeros((8, 8))}}},
+        "down_blocks": {"0": {"to_q": {"kernel": jnp.zeros((8, 8))}}},
+    }
+    tensors = {
+        "lora_unet_down_blocks_0_to_q.lora_down.weight": np.ones((4, 8), np.float32),
+        "lora_unet_down_blocks_0_to_q.lora_up.weight": np.ones((8, 4), np.float32),
+    }
+    with pytest.raises(ValueError, match="ambiguous kohya flattening"):
+        from_kohya(tensors, base)
