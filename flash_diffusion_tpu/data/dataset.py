@@ -202,6 +202,50 @@ def iter_tar_samples(
             pass
 
 
+def _queue_put(out_q, item, stop, timeout=0.2):
+    """Bounded put that gives up when the consumer signalled stop — a
+    worker blocked on a full queue must not outlive an abandoned
+    iterator."""
+    while True:
+        try:
+            out_q.put(item, timeout=timeout)
+            return True
+        except queue.Full:
+            if stop is not None and stop.is_set():
+                return False
+
+
+def _worker_loop(cfg, filters_mappers, shards, out_q, stop=None):
+    """Decode worker body: shards → samples → filters/mappers → queue.
+    Module-level so it pickles for spawn()ed process workers."""
+
+    def apply(sample):
+        for fm in filters_mappers:
+            result = fm(sample)
+            if result is False:
+                return None
+            if isinstance(result, dict):
+                sample = result
+        return sample
+
+    for shard in shards:
+        if stop is not None and stop.is_set():
+            break
+        for sample in iter_tar_samples(
+            shard, cfg.decoder, cfg.rename_files, cfg.decode_draft_size
+        ):
+            if stop is not None and stop.is_set():
+                break
+            try:
+                mapped = apply(sample)
+            except Exception as e:  # warn_and_continue
+                logger.warning("mapper error on %s: %s", sample.get("__key__"), e)
+                continue
+            if mapped is not None and not _queue_put(out_q, mapped, stop):
+                return
+    _queue_put(out_q, None, stop)
+
+
 class DataPipeline:
     """Composable streaming pipeline (reference DataPipeline, dataset.py:13-145)."""
 
@@ -240,27 +284,20 @@ class DataPipeline:
                 sample = result
         return sample
 
-    def _worker_loop(self, shards, out_q):
-        cfg = self.config
-        for shard in shards:
-            for sample in iter_tar_samples(
-                shard, cfg.decoder, cfg.rename_files, cfg.decode_draft_size
-            ):
-                try:
-                    mapped = self._apply(sample)
-                except Exception as e:  # warn_and_continue
-                    logger.warning("mapper error on %s: %s", sample.get("__key__"), e)
-                    continue
-                if mapped is not None:
-                    out_q.put(mapped)
-        out_q.put(None)
+    def _worker_loop(self, shards, out_q, stop=None):
+        _worker_loop(self.config, self.filters_mappers, shards, out_q, stop)
 
     def samples(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
         """Decoded, filtered, mapped samples with a shuffle buffer; workers
         fan out over shards (split_by_worker analog). Backend "thread"
-        shares the GIL (fine when tar IO dominates); "process" fork()s one
-        decoder per worker — fork inheritance means filters/mappers need not
-        pickle — and is the scaling path on multi-core TPU hosts."""
+        shares the GIL (fine when tar IO dominates); "process" runs one
+        decoder per worker — the scaling path on multi-core TPU hosts.
+
+        Process workers prefer the ``spawn`` context (fork()ing a
+        multithreaded, JAX-initialized parent can deadlock in the child);
+        when the config/mappers don't pickle, falls back to ``fork`` with a
+        warning. Workers are terminated/joined when the consumer abandons
+        the iterator mid-epoch (generator close runs the ``finally``)."""
         cfg = self.config
         shards = self._host_shards(epoch)
         if not shards:
@@ -269,41 +306,82 @@ class DataPipeline:
 
         # split_by_worker analog: worker i owns shards[i::n]
         splits = [shards[i::n_workers] for i in range(n_workers)]
-        if cfg.worker_backend == "process":
+        qsize = max(2 * cfg.per_worker_batch_size, 16)
+        use_process = cfg.worker_backend == "process"
+        stop = threading.Event()
+        if use_process:
             import multiprocessing as mp
+            import pickle
 
-            ctx = mp.get_context("fork")
-            out_q = ctx.Queue(maxsize=max(2 * cfg.per_worker_batch_size, 16))
+            payload = (cfg, self.filters_mappers)
+            try:
+                pickle.dumps(payload)
+                ctx = mp.get_context("spawn")
+            except Exception:
+                logger.warning(
+                    "filters/mappers are not picklable; using fork() workers — "
+                    "unsafe from a multithreaded (JAX-initialized) parent"
+                )
+                ctx = mp.get_context("fork")
+            out_q = ctx.Queue(maxsize=qsize)
             workers = [
-                ctx.Process(target=self._worker_loop, args=(sp, out_q), daemon=True)
+                ctx.Process(
+                    target=_worker_loop,
+                    args=(cfg, self.filters_mappers, sp, out_q, None),
+                    daemon=True,
+                )
                 for sp in splits
             ]
         else:
-            out_q = queue.Queue(maxsize=max(2 * cfg.per_worker_batch_size, 16))
+            out_q = queue.Queue(maxsize=qsize)
             workers = [
-                threading.Thread(target=self._worker_loop, args=(sp, out_q), daemon=True)
+                threading.Thread(
+                    target=_worker_loop,
+                    args=(cfg, self.filters_mappers, sp, out_q, stop),
+                    daemon=True,
+                )
                 for sp in splits
             ]
 
         for t in workers:
             t.start()
 
-        rng = random.Random(cfg.seed + epoch + 1)
-        buf: List[Dict[str, Any]] = []
-        done = 0
-        while done < n_workers:
-            item = out_q.get()
-            if item is None:
-                done += 1
-                continue
-            if cfg.shuffle_buffer_size > 1:
-                buf.append(item)
-                if len(buf) >= cfg.shuffle_buffer_size:
-                    yield buf.pop(rng.randrange(len(buf)))
+        try:
+            rng = random.Random(cfg.seed + epoch + 1)
+            buf: List[Dict[str, Any]] = []
+            done = 0
+            while done < n_workers:
+                item = out_q.get()
+                if item is None:
+                    done += 1
+                    continue
+                if cfg.shuffle_buffer_size > 1:
+                    buf.append(item)
+                    if len(buf) >= cfg.shuffle_buffer_size:
+                        yield buf.pop(rng.randrange(len(buf)))
+                else:
+                    yield item
+            rng.shuffle(buf)
+            yield from buf
+        finally:
+            stop.set()
+            if use_process:
+                for p in workers:
+                    if p.is_alive():
+                        p.terminate()
+                for p in workers:
+                    p.join(timeout=5)
+                out_q.close()
+                out_q.cancel_join_thread()
             else:
-                yield item
-        rng.shuffle(buf)
-        yield from buf
+                # drain so putters blocked on a full queue see the stop flag
+                while any(t.is_alive() for t in workers):
+                    try:
+                        out_q.get(timeout=0.1)
+                    except queue.Empty:
+                        pass
+                for t in workers:
+                    t.join(timeout=5)
 
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
         cfg = self.config

@@ -47,7 +47,15 @@ class DiTConfig(BaseConfig):
     num_vector_embeds: int = 0
     vector_embed_dim: int = 256  # sinusoidal width per extra scalar
     sample_size: int = 64  # base grid for pos-embed interpolation scale
+    # pos-embed grid divisor; None → diffusers Pixart default
+    # max(sample_size // 64, 1) (2 for the 1024-MS checkpoints)
+    interpolation_scale: Optional[float] = None
     remat: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.interpolation_scale is None:
+            self.interpolation_scale = float(max(self.sample_size // 64, 1))
 
 
 def pixart_config(**overrides) -> DiTConfig:
@@ -56,13 +64,20 @@ def pixart_config(**overrides) -> DiTConfig:
     return DiTConfig(**base)
 
 
-def get_2d_sincos_pos_embed(dim: int, h: int, w: int, base_size: int = 64) -> np.ndarray:
-    """2D sin-cos positional embedding with Pixart interpolation scaling."""
-    scale_h = h / base_size
-    scale_w = w / base_size
-    grid_h = np.arange(h, dtype=np.float64) / max(scale_h, 1e-8)
-    grid_w = np.arange(w, dtype=np.float64) / max(scale_w, 1e-8)
-    gw, gh = np.meshgrid(grid_w, grid_h)  # note order: w varies fastest
+def get_2d_sincos_pos_embed(
+    dim: int, h: int, w: int, base_size: int = 64, interpolation_scale: float = 1.0
+) -> np.ndarray:
+    """2D sin-cos positional embedding, exact diffusers/MAE semantics.
+
+    Two quirks preserved for checkpoint parity (diffusers
+    ``get_2d_sincos_pos_embed`` derives from MAE's): the FIRST half of the
+    embedding encodes the **w** (column) coordinate — ``meshgrid(grid_w,
+    grid_h)`` puts the w-varying array in ``grid[0]`` despite the
+    ``emb_h`` name — and grid coordinates are divided by
+    ``interpolation_scale`` (Pixart-1024 uses 2)."""
+    grid_h = np.arange(h, dtype=np.float64) / (h / base_size) / interpolation_scale
+    grid_w = np.arange(w, dtype=np.float64) / (w / base_size) / interpolation_scale
+    gw, gh = np.meshgrid(grid_w, grid_h)  # gw varies along axis 1 (columns)
 
     def _1d(pos, d):
         omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
@@ -70,9 +85,9 @@ def get_2d_sincos_pos_embed(dim: int, h: int, w: int, base_size: int = 64) -> np
         out = np.einsum("m,d->md", pos.reshape(-1), omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    emb_h = _1d(gh, dim // 2)
     emb_w = _1d(gw, dim // 2)
-    return np.concatenate([emb_h, emb_w], axis=1)  # [h*w, dim]
+    emb_h = _1d(gh, dim // 2)
+    return np.concatenate([emb_w, emb_h], axis=1)  # [h*w, dim]; w-half first
 
 
 class AdaLayerNormSingle(nn.Module):
@@ -203,7 +218,10 @@ class DiT(nn.Module):
             d, (p, p), strides=(p, p), padding="VALID", dtype=self.dtype, name="pos_embed_proj"
         )(sample.astype(self.dtype))
         x = x.reshape(b, gh * gw, d)
-        pos = get_2d_sincos_pos_embed(d, gh, gw, base_size=cfg.sample_size // p)
+        pos = get_2d_sincos_pos_embed(
+            d, gh, gw, base_size=cfg.sample_size // p,
+            interpolation_scale=cfg.interpolation_scale,
+        )
         x = x + jnp.asarray(pos, self.dtype)[None]
 
         mod6, emb_t = AdaLayerNormSingle(

@@ -141,18 +141,19 @@ class ResnetBlock2D(nn.Module):
     out_channels: int
     time_emb_dim: Optional[int] = None
     groups: int = 32
+    eps: float = 1e-5  # UNet default; diffusers VAE resnets use 1e-6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None):
-        h = GroupNorm(self.groups, act="silu", name="norm1")(x)
+        h = GroupNorm(self.groups, eps=self.eps, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             temb = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + temb[:, None, None, :]
-        h = GroupNorm(self.groups, act="silu", name="norm2")(h)
+        h = GroupNorm(self.groups, eps=self.eps, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)

@@ -159,7 +159,14 @@ class MMDiT(nn.Module):
             sample.astype(self.dtype)
         )
         x = x.reshape(b, gh * gw, d)
-        pos = get_2d_sincos_pos_embed(d, gh, gw, base_size=cfg.sample_size // p)
+        # diffusers SD3 PatchEmbed(pos_embed_max_size=...) semantics: the
+        # sin-cos table is computed ONCE over the max_size grid (coords
+        # normalized by max_size/base_size) and center-CROPPED to the input
+        # grid — not recomputed at the input size.
+        m = cfg.pos_embed_max_size
+        pos = get_2d_sincos_pos_embed(d, m, m, base_size=cfg.sample_size // p)
+        top, left = (m - gh) // 2, (m - gw) // 2
+        pos = pos.reshape(m, m, d)[top : top + gh, left : left + gw].reshape(gh * gw, d)
         x = x + jnp.asarray(pos, self.dtype)[None]
 
         temb = timestep_embedding(jnp.atleast_1d(timestep), 256)

@@ -84,7 +84,7 @@ class Encoder(nn.Module):
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
         for lvl, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock2D(ch, None, g, dtype=self.dtype, name=f"down_{lvl}_resnet_{j}")(h)
+                h = ResnetBlock2D(ch, None, g, eps=1e-6, dtype=self.dtype, name=f"down_{lvl}_resnet_{j}")(h)
             if lvl < len(cfg.block_out_channels) - 1:
                 # diffusers VAE downsample: asymmetric pad (0,1) + stride-2 VALID
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -93,10 +93,10 @@ class Encoder(nn.Module):
                     name=f"down_{lvl}_downsample",
                 )(h)
         ch = cfg.block_out_channels[-1]
-        h = ResnetBlock2D(ch, None, g, dtype=self.dtype, name="mid_resnet_0")(h)
+        h = ResnetBlock2D(ch, None, g, eps=1e-6, dtype=self.dtype, name="mid_resnet_0")(h)
         if cfg.mid_block_attn:
             h = _AttnBlock(g, dtype=self.dtype, name="mid_attn")(h)
-        h = ResnetBlock2D(ch, None, g, dtype=self.dtype, name="mid_resnet_1")(h)
+        h = ResnetBlock2D(ch, None, g, eps=1e-6, dtype=self.dtype, name="mid_resnet_1")(h)
         h = GroupNorm(g, eps=1e-6, act="silu", name="conv_norm_out")(h)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
@@ -111,16 +111,16 @@ class Decoder(nn.Module):
         g = cfg.norm_num_groups
         ch = cfg.block_out_channels[-1]
         h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock2D(ch, None, g, dtype=self.dtype, name="mid_resnet_0")(h)
+        h = ResnetBlock2D(ch, None, g, eps=1e-6, dtype=self.dtype, name="mid_resnet_0")(h)
         if cfg.mid_block_attn:
             h = _AttnBlock(g, dtype=self.dtype, name="mid_attn")(h)
-        h = ResnetBlock2D(ch, None, g, dtype=self.dtype, name="mid_resnet_1")(h)
+        h = ResnetBlock2D(ch, None, g, eps=1e-6, dtype=self.dtype, name="mid_resnet_1")(h)
         from .layers import nearest_upsample_2x
 
         for i, lvl in enumerate(reversed(range(len(cfg.block_out_channels)))):
             ch = cfg.block_out_channels[lvl]
             for j in range(cfg.layers_per_block + 1):
-                h = ResnetBlock2D(ch, None, g, dtype=self.dtype, name=f"up_{lvl}_resnet_{j}")(h)
+                h = ResnetBlock2D(ch, None, g, eps=1e-6, dtype=self.dtype, name=f"up_{lvl}_resnet_{j}")(h)
             if i < len(cfg.block_out_channels) - 1:
                 h = nearest_upsample_2x(h)
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"up_{lvl}_upsample")(h)

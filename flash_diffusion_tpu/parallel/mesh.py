@@ -19,11 +19,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def initialize_distributed(coordinator: Optional[str] = None) -> None:
-    """Multi-host bootstrap. No-op on a single process; honors standard
-    JAX env vars otherwise (replaces SLURM_NPROCS plumbing)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or coordinator:
-        jax.distributed.initialize(coordinator_address=coordinator)
+def initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bootstrap. No-op when no coordinator is configured; on
+    clusters with auto-detection (GKE/SLURM) the extra args stay None and
+    JAX's cluster detect fills them in. Outside those (bare-metal pods,
+    tests), pass them explicitly or via ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` (replaces the reference's SLURM_NPROCS plumbing,
+    examples/train_flash_sdxl.py:423-428)."""
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coordinator:
+        return
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def create_mesh(

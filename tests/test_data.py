@@ -231,6 +231,23 @@ def test_process_worker_backend(shards):
     assert keys_p == keys_t and len(keys_p) == 12
 
 
+def test_abandoned_iterator_reaps_workers(shards):
+    """Closing the sample iterator mid-epoch terminates/joins workers
+    (thread and process backends) instead of leaking them."""
+    import threading
+
+    for backend in ("thread", "process"):
+        cfg = DataModuleConfig(
+            shards_path_or_urls=shards, per_worker_batch_size=2, num_workers=2,
+            shuffle_buffer_size=1, shuffle_shards=False, worker_backend=backend,
+        )
+        before = threading.active_count()
+        it = DataPipeline(cfg).samples(0)
+        next(it)
+        it.close()  # runs the generator's finally: stop + join/terminate
+        assert threading.active_count() <= before + 1, backend
+
+
 def test_brace_expansion():
     from flash_diffusion_tpu.data.dataset import expand_shards
 
