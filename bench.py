@@ -38,19 +38,21 @@ def _matmul_probe(n: int = 4096, iters: int = 30) -> float:
     b = jnp.full((n, n), 0.01, jnp.bfloat16)
 
     # One jit doing `iters` chained matmuls via scan: a single dispatch, so
-    # relay round-trip overhead is amortized out of the measurement.
-    def body(x, _):
-        y = jax.lax.dot(x, b, precision=None, preferred_element_type=jnp.bfloat16)
-        return y * jnp.bfloat16(0.5), None
-
+    # relay round-trip overhead is amortized out of the measurement. b is an
+    # argument, not a closure capture (captures embed as HLO constants and
+    # bloat the relay's compile upload).
     @jax.jit
-    def run(x):
+    def run(x, b):
+        def body(x, _):
+            y = jax.lax.dot(x, b, precision=None, preferred_element_type=jnp.bfloat16)
+            return y * jnp.bfloat16(0.5), None
+
         y, _ = jax.lax.scan(body, x, None, length=iters)
         return y[0, 0].astype(jnp.float32)
 
-    _ = float(run(a))  # compile + warm; scalar device read = unambiguous barrier
+    _ = float(run(a, b))  # compile + warm; scalar device read = unambiguous barrier
     t0 = time.perf_counter()
-    _ = float(run(a))
+    _ = float(run(a, b))
     dt = (time.perf_counter() - t0) / iters
     return 2.0 * n**3 / dt / 1e12
 

@@ -166,6 +166,11 @@ def main():
         # compute in bf16 anyway; fp32 storage only doubles rollout HBM
         # reads and resident footprint (see TrainingPipeline.frozen_dtype)
         frozen_dtype=jnp.bfloat16,
+        # TEXT_ENCODER_OFFLOAD: N>0 keeps the 11G triple-encoder stack on
+        # host and bursts it onto HBM every N batches (TPU-native
+        # cpu_offload, reference flash_sd3/flash_diffusion_model.py:219-220)
+        # — the setting that fits USE_T5:true on one 16G chip.
+        text_encoder_offload=cfg.get("TEXT_ENCODER_OFFLOAD", 0),
     )
 
     data = build_data(cfg)

@@ -76,6 +76,7 @@ class TrainingPipeline:
         mesh=None,
         frozen_sharding: str = "replicated",  # replicated | fsdp
         frozen_dtype=None,  # e.g. jnp.bfloat16: storage dtype for frozen trees
+        text_encoder_offload: int = 0,  # batches per encode burst; 0 = resident
     ):
         self.model = model
         self.config = config
@@ -96,6 +97,21 @@ class TrainingPipeline:
             )
         self._frozen_dtype = frozen_dtype
         self._frozen_sharding = frozen_sharding
+        # Text-encoder offload (the TPU-native answer to the reference's
+        # accelerate cpu_offload, flash_sd3/flash_diffusion_model.py:219-220):
+        # text towers (CLIP-L+G + T5-XXL ≈ 11 G bf16 for SD3) live on HOST;
+        # every `text_encoder_offload` batches fit() transfers them to HBM
+        # once, encodes that whole burst of batches in the staged cond jit,
+        # and frees them again. Peak HBM = max(encode-phase, train-phase)
+        # instead of their sum, and the 11 G PCIe transfer amortizes over
+        # the burst. Conditioning outputs are ~MBs/batch and stay resident.
+        self._text_offload = int(text_encoder_offload)
+        self._host_conditioners = None
+        if self._text_offload and "conditioners" in frozen:
+            frozen = dict(frozen)
+            self._host_conditioners = jax.tree_util.tree_map(
+                lambda x: np.asarray(jax.device_get(x)), frozen.pop("conditioners")
+            )
         if frozen_sharding == "fsdp":
             # shard big frozen weights (teacher/vae/text encoders) over the
             # data axis; XLA gathers on use — memory scales with devices
@@ -273,6 +289,43 @@ class TrainingPipeline:
             or (hasattr(v, "dtype") and hasattr(v, "shape"))
         }
 
+    def _placed_conditioners(self):
+        """Transfer the host-resident text towers to the mesh (burst
+        start); caller drops the returned tree to free the HBM."""
+        tree = {"conditioners": self._host_conditioners}
+        if self._frozen_sharding == "fsdp":
+            return shard_params_fsdp(tree, self.mesh)
+        return replicate(tree, self.mesh)
+
+    def _cond_bursts(self, data, step0: int):
+        """Yield batches with conditioning precomputed in encode bursts:
+        towers on HBM only while a burst is encoding (see __init__)."""
+        import itertools
+
+        it = iter(data)
+        step = step0
+        while True:
+            chunk = list(itertools.islice(it, self._text_offload))
+            if not chunk:
+                return
+            dev = self._placed_conditioners()
+            frozen_enc = {**self.frozen, **dev}
+            out = []
+            for b in chunk:
+                rng = jax.random.fold_in(
+                    jax.random.PRNGKey(self.config.seed ^ 0x5EED), step
+                )
+                nb = shard_batch(self._numeric_batch(b), self.mesh)
+                conds = self._cond_fn(frozen_enc, nb, rng)
+                out.append((b, conds))
+                step += 1
+            jax.block_until_ready([c for _, c in out])
+            del dev, frozen_enc  # frees the towers' HBM
+            for b, conds in out:
+                b = dict(b)
+                b["__conds_pre"] = conds
+                yield b
+
     def evaluate(
         self,
         data: Iterator[Dict[str, Any]],
@@ -287,13 +340,18 @@ class TrainingPipeline:
             self._eval_fns[stage] = self._build_eval(stage)
         sums: Dict[str, float] = {}
         n = 0
+        frozen_enc = self.frozen
+        dev = None
+        if self._text_offload and self._host_conditioners is not None:
+            dev = self._placed_conditioners()  # one burst for the eval pass
+            frozen_enc = {**self.frozen, **dev}
         for i, batch in enumerate(data):
             if i >= max_batches:
                 break
             batch = shard_batch(self._numeric_batch(batch), self.mesh)
             if self._cond_fn is not None:
                 batch["__conds"] = self._cond_fn(
-                    self.frozen, batch, jax.random.PRNGKey(0)
+                    frozen_enc, batch, jax.random.PRNGKey(0)
                 )
             if self._encode_fn is not None:
                 batch["__z"] = self._encode_fn(
@@ -325,6 +383,8 @@ class TrainingPipeline:
         max_steps = max_steps or cfg.max_steps or sum(self.model.config.num_iterations_per_K)
         t_window = time.perf_counter()
         step0 = int(state.step)
+        if self._text_offload and self._cond_fn is not None:
+            data = self._cond_bursts(data, step0)
         prev_stage = self.model.stage_for_iteration(max(int(state.step), 1))
         for i, batch in enumerate(data):
             step = int(state.step)
@@ -343,9 +403,12 @@ class TrainingPipeline:
                 self.frozen.pop("student_base", None)
                 logger.info("stage %d: switched teacher to merged student", stage)
             prev_stage = stage
+            pre_conds = batch.pop("__conds_pre", None) if isinstance(batch, dict) else None
             batch = shard_batch(self._numeric_batch(batch), self.mesh)
             stage_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5EED), step)
-            if self._cond_fn is not None:
+            if pre_conds is not None:
+                batch["__conds"] = pre_conds
+            elif self._cond_fn is not None:
                 batch["__conds"] = self._cond_fn(self.frozen, batch, stage_rng)
             if self._encode_fn is not None:
                 batch["__z"] = self._encode_fn(

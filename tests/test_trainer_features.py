@@ -195,3 +195,41 @@ def test_frozen_dtype_bf16_storage_trains():
     )
     state, aux = pipe2.step_fn_for_stage(0)(state, pipe2.frozen, batch)
     assert np.isfinite(float(aux["loss/generator"]))
+
+
+def test_text_encoder_offload_matches_resident():
+    """text_encoder_offload: towers live off-mesh; fit() encode-bursts
+    conditioning every N batches. Final LoRA must equal the resident path
+    bit-for-rng (same per-step cond rng formula), and the pipeline's
+    frozen tree must not hold the conditioner params."""
+    pipe, batch = _build()
+
+    def data():
+        for _ in range(4):
+            yield dict(batch)
+
+    state_res = pipe.fit(data(), max_steps=4)
+
+    # fresh identical build (deterministic init keys): the first fit()'s
+    # donated buffers may alias pipe's init trees on CPU
+    pipe2, _ = _build()
+    pipe_off = TrainingPipeline(
+        pipe2.model,
+        TrainingConfig(learning_rates=[1e-3, 1e-3]),
+        frozen=jax.device_get(pipe2.frozen),
+        lora_init=jax.device_get(pipe2._lora_init),
+        disc_init=jax.device_get(pipe2._disc_init),
+        text_encoder_offload=2,
+    )
+    assert "conditioners" not in pipe_off.frozen
+    assert pipe_off._host_conditioners is not None
+    state_off = pipe_off.fit(data(), max_steps=4)
+
+    fr, fo = _flat(state_res.lora), _flat(state_off.lora)
+    assert fr.keys() == fo.keys()
+    for k in fr:
+        np.testing.assert_allclose(fr[k], fo[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+    # evaluate() also works in offload mode (one burst for the pass)
+    metrics = pipe_off.evaluate(data(), state_off, stage=0, max_batches=2)
+    assert any(k.startswith("val/") for k in metrics)

@@ -52,7 +52,7 @@ def bench_fwd(bh, s, d, block_q, block_kv, iters=20):
     )
 
     @jax.jit
-    def run(q):
+    def run(q, k, v):
         def body(x, _):
             o, _lse = f(x, k, v)
             return o, None  # softmax-avg of v: bounded, safe to chain
@@ -60,7 +60,7 @@ def bench_fwd(bh, s, d, block_q, block_kv, iters=20):
         o, _ = jax.lax.scan(body, q, None, length=iters)
         return o[0, 0, 0].astype(jnp.float32)
 
-    dt = _timed_scalar(run, q, iters=iters)
+    dt = _timed_scalar(run, q, k, v, iters=iters)
     return 4.0 * bh * s * s * d / dt / 1e12
 
 
@@ -75,7 +75,7 @@ def bench_fwd_bwd(bh, s, d, iters=10):
     g = jax.grad(loss, argnums=(0, 1, 2))
 
     @jax.jit
-    def run(q):
+    def run(q, k, v):
         def body(x, _):
             dq, _dk, _dv = g(x, k, v)
             return (x + jnp.bfloat16(1e-4) * dq.astype(jnp.bfloat16)), None
@@ -83,7 +83,7 @@ def bench_fwd_bwd(bh, s, d, iters=10):
         x, _ = jax.lax.scan(body, q, None, length=iters)
         return x[0, 0, 0, 0].astype(jnp.float32)
 
-    dt = _timed_scalar(run, q, iters=iters)
+    dt = _timed_scalar(run, q, k, v, iters=iters)
     flops = (4.0 + 10.0) * bh * s * s * d  # fwd 4 + bwd 10 (dq 5 + dkv 5)
     return flops / dt / 1e12
 
@@ -99,7 +99,7 @@ def bench_matmul(m, kdim, n, iters=20):
     b = jax.random.normal(jax.random.PRNGKey(1), (batch, kdim, n), jnp.bfloat16)
 
     @jax.jit
-    def run(s0):
+    def run(s0, a, b):
         def body(s, _):
             o = jax.lax.dot_general(
                 a + s.astype(jnp.bfloat16),  # scalar-chain: serializes iterations
@@ -107,12 +107,14 @@ def bench_matmul(m, kdim, n, iters=20):
                 (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            return o[0, 0, 0] * 1e-20, None
+            # depend on ALL of o: a bare o[0,0,0] lets XLA slice the dot
+            # down to one row/column (observed: "1730 TFLOP/s")
+            return o.mean() * 1e-20, None
 
         s, _ = jax.lax.scan(body, s0, None, length=iters)
         return s
 
-    dt = _timed_scalar(run, jnp.float32(0.0), iters=iters)
+    dt = _timed_scalar(run, jnp.float32(0.0), a, b, iters=iters)
     return 2.0 * batch * m * kdim * n / dt / 1e12
 
 
