@@ -122,6 +122,84 @@ class SampleLogger:
         logger.info("step %d: wrote %d sample grids to %s", step, len(logs), self.out_dir)
 
 
+class QualityValidator:
+    """Sample-based quality signal inside fit() (the reference's long runs
+    have none either — eval_coco.py is manual; this closes that gap): every
+    N steps, sample few-step images from held-out conditioning batches and
+    report the Fréchet distance between feature embeddings of reals vs
+    samples, plus CLIPScore when ``text_embed_fn`` is given.
+
+    ``embed_fn``: jitted [-1,1] NHWC images → [B, D] features — the CLIP
+    vision tower or InceptionV3-pool3 (eval/harness.py builds both), or any
+    cheap feature net for toy runs. Metrics land in the INFO log, wandb
+    (when live), and ``self.history`` for tests/callers.
+    """
+
+    def __init__(
+        self,
+        batch_provider,  # () -> iterator of held-out batches w/ "image"
+        input_shape: Sequence[int],  # latent (H, W, C)
+        embed_fn,
+        every_n_steps: int = 1000,
+        num_batches: int = 4,
+        num_steps: int = 4,
+        guidance_scale: float = 1.0,
+        text_embed_fn=None,
+        use_ema: bool = True,
+        use_wandb: Optional[bool] = None,
+    ):
+        self.batch_provider = batch_provider
+        self.input_shape = tuple(input_shape)
+        self.embed_fn = embed_fn
+        self.every_n_steps = every_n_steps
+        self.num_batches = num_batches
+        self.num_steps = num_steps
+        self.guidance_scale = guidance_scale
+        self.text_embed_fn = text_embed_fn
+        self.use_ema = use_ema
+        self.use_wandb = _HAS_WANDB if use_wandb is None else use_wandb
+        self.history = []
+
+    def __call__(self, pipeline, state, aux, step: int) -> None:
+        if step % self.every_n_steps or jax.process_index() != 0:
+            return
+        from ..eval.metrics import FIDStats, clip_score, frechet_distance
+
+        lora = state.lora
+        if self.use_ema and jax.tree_util.tree_leaves(getattr(state, "ema", ())):
+            lora = state.ema
+        real_s, fake_s = FIDStats(), FIDStats()
+        scores = []
+        for i, batch in enumerate(self.batch_provider()):
+            if i >= self.num_batches:
+                break
+            n = np.asarray(batch["image"]).shape[0]
+            z = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(step), i),
+                (n, *self.input_shape),
+            )
+            fake = pipeline.model.sample(
+                pipeline.frozen, lora, z, batch,
+                num_steps=self.num_steps, guidance_scale=self.guidance_scale,
+                rng=jax.random.PRNGKey(i),
+            )
+            real_emb = self.embed_fn(np.asarray(batch["image"]))
+            fake_emb = self.embed_fn(fake)
+            real_s.update(np.asarray(real_emb))
+            fake_s.update(np.asarray(fake_emb))
+            if self.text_embed_fn is not None:
+                scores.append(float(clip_score(fake_emb, self.text_embed_fn(batch))))
+        mu_r, cov_r = real_s.finalize()
+        mu_f, cov_f = fake_s.finalize()
+        metrics = {"val/feature_fd": frechet_distance(mu_r, cov_r, mu_f, cov_f)}
+        if scores:
+            metrics["val/clip_score"] = float(np.mean(scores))
+        self.history.append((step, metrics))
+        logger.info("step %d quality %s", step, metrics)
+        if self.use_wandb and wandb is not None and wandb.run is not None:
+            wandb.log(metrics, step=step)
+
+
 class MetricLogger:
     """Scalar metric callback: logging module + optional wandb
     (reference logs loss at INFO every step, trainer/trainer.py:177-180 —

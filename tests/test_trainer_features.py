@@ -233,3 +233,34 @@ def test_text_encoder_offload_matches_resident():
     # evaluate() also works in offload mode (one burst for the pass)
     metrics = pipe_off.evaluate(data(), state_off, stage=0, max_batches=2)
     assert any(k.startswith("val/") for k in metrics)
+
+
+def test_quality_validator_callback_runs_in_fit():
+    """QualityValidator: sample-based feature-FD quality signal at a
+    cadence inside fit() (not just loss averaging)."""
+    from flash_diffusion_tpu.trainer import QualityValidator
+
+    pipe, batch = _build()
+
+    def provider():
+        yield dict(batch)
+
+    def embed(images):
+        x = np.asarray(images, np.float32).reshape(np.shape(images)[0], -1)
+        rng = np.random.default_rng(0)
+        proj = rng.standard_normal((x.shape[1], 8)).astype(np.float32)
+        return x @ proj
+
+    qv = QualityValidator(
+        provider, input_shape=(HW, HW, C), embed_fn=embed,
+        every_n_steps=2, num_batches=1, num_steps=2,
+    )
+
+    def data():
+        for _ in range(4):
+            yield dict(batch)
+
+    pipe.fit(data(), callbacks=[qv], max_steps=4)
+    assert len(qv.history) == 2  # steps 2 and 4
+    for _, m in qv.history:
+        assert np.isfinite(m["val/feature_fd"])
