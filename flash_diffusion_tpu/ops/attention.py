@@ -127,10 +127,13 @@ def _flash_fwd_bhsd(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
-    # tuned on v5e at (S=4096, D=64): wide KV blocks amortize the
-    # online-softmax rescale over more MXU work
-    block_q: int = 256,
-    block_kv: int = 2048,
+    # tuned on v5e at (S=4096, D=64), r3 sweep (tools/bench_attention.py):
+    # 49.3 TFLOP/s @ (512, 4096) vs 46.7 @ (256, 2048) — wide KV blocks
+    # amortize the online-softmax rescale AND larger q blocks cut K/V
+    # re-streaming from HBM (traffic ∝ S/block_q). (1024, 4096) overflows
+    # VMEM (the fp32 [bq, bkv] score block).
+    block_q: int = 512,
+    block_kv: int = 4096,
 ):
     """Flash forward over (BH, S, D); returns (out [BH,Sq,D], lse [BH,Sq])."""
     bh, sq, d = q.shape

@@ -1,0 +1,36 @@
+"""End-to-end distillation QUALITY proof (VERDICT r2 directive 3).
+
+Runs examples/toy_quality.py at CI scale: a DDPM teacher trained from
+scratch on the synthetic blob distribution, distilled with the full
+recipe (K=4 rollout + DMD + hinge GAN), then the Fréchet distance in
+fixed random-CNN features vs held-out data for teacher 32-NFE, student
+4-NFE, and the undistilled (zero-LoRA) 4-NFE ablation.
+
+Pass = the distilled 4-NFE student clearly beats the undistilled 4-NFE
+baseline AND is no worse than the 32-step teacher — i.e. the algorithm
+*distills*, the first assertion on sample quality rather than loss
+curves (reference claim: /root/reference/README.md:57).
+
+CPU wall ≈ 8 min (mostly XLA compiles); calibrated margins: at these
+step counts a run measured student 0.43 / undistilled 1.92 / teacher 6.6.
+"""
+
+import numpy as np
+import pytest
+
+from examples.toy_quality import run
+
+
+@pytest.mark.slow
+def test_distilled_student_beats_undistilled_and_matches_teacher():
+    out, _ = run(
+        teacher_steps=600, distill_steps=200, batch=48, n_eval=256, seed=0
+    )
+    fd_t = out["fd_teacher_32nfe"]
+    fd_s = out["fd_student_4nfe"]
+    fd_u = out["fd_undistilled_4nfe"]
+    assert np.isfinite([fd_t, fd_s, fd_u]).all()
+    # the full recipe must visibly move the student toward the data
+    assert fd_s < 0.5 * fd_u, f"student {fd_s:.3f} vs undistilled {fd_u:.3f}"
+    # and not be worse than its own teacher at 8x fewer NFEs
+    assert fd_s < fd_t, f"student {fd_s:.3f} vs teacher {fd_t:.3f}"
