@@ -69,6 +69,70 @@ def test_group_norm_fused_silu():
     assert np.allclose(np.array(out), np.array(plain) / (1 + np.exp(-np.array(plain))), atol=1e-5)
 
 
+def _ln_ref(x, scale=None, bias=None, eps=1e-5):
+    xf = np.array(x, np.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    out = (xf - mean) / np.sqrt(var + eps)
+    if scale is not None:
+        out = out * np.array(scale) + np.array(bias)
+    return out
+
+
+def test_layer_norm_pallas_path_matches_reference():
+    """Lane-aligned shapes dispatch to the fused Pallas kernel (interpret mode
+    under the test conftest); compare against a two-pass numpy LayerNorm."""
+    from flash_diffusion_tpu.ops import norms
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 256)) * 2.0 + 0.7
+    s = jnp.arange(256, dtype=jnp.float32) * 0.01 + 1.0
+    b = jnp.full((256,), 0.25)
+    assert norms._ln_eligible(x, s, b)
+    out = layer_norm(x, s, b)
+    assert np.allclose(np.array(out), _ln_ref(x, s, b), atol=1e-4)
+    # affine-free variant
+    assert norms._ln_eligible(x, None, None)
+    out = layer_norm(x)
+    assert np.allclose(np.array(out), _ln_ref(x), atol=1e-4)
+    # bf16 storage
+    xb = x.astype(jnp.bfloat16)
+    out = layer_norm(xb, s, b)
+    # bf16 output resolution: ulp(|out|max≈7) = 0.0625
+    assert np.allclose(np.array(out, np.float32), _ln_ref(xb, s, b), atol=1e-1)
+
+
+def test_layer_norm_pallas_grads_match_fallback():
+    """custom_vjp closed-form backward == autodiff through the jnp fallback."""
+    from flash_diffusion_tpu.ops import norms
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 8, 128)) * 1.5
+    s = jax.random.normal(jax.random.PRNGKey(5), (128,)) * 0.1 + 1.0
+    b = jax.random.normal(jax.random.PRNGKey(6), (128,)) * 0.1
+
+    def fallback_ln(x, s, b):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean, 0.0)
+        return (x - mean) * jax.lax.rsqrt(var + 1e-5) * s + b
+
+    loss_p = lambda x, s, b: jnp.sum(jnp.sin(layer_norm(x, s, b)))
+    loss_f = lambda x, s, b: jnp.sum(jnp.sin(fallback_ln(x, s, b)))
+    assert norms._ln_eligible(x, s, b)
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, s, b)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(x, s, b)
+    for a, r in zip(gp, gf):
+        assert np.allclose(np.array(a), np.array(r), atol=1e-4), np.abs(np.array(a) - np.array(r)).max()
+
+
+def test_layer_norm_ineligible_shapes_fall_back():
+    from flash_diffusion_tpu.ops import norms
+
+    # C not lane-aligned and row count not a multiple of 8: jnp path
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 77, 120))
+    assert not norms._ln_eligible(x, None, None)
+    out = layer_norm(x)
+    assert np.allclose(np.array(out), _ln_ref(x), atol=1e-4)
+
+
 def test_layer_norm_and_modulate():
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 6))
     out = layer_norm(x)
