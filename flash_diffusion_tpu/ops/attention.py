@@ -121,6 +121,87 @@ def _flash_fwd_kernel(
         lse_ref[0, 0] = (m_scratch[:, 0] + jnp.log(l[:, 0])).astype(jnp.float32)
 
 
+# --------------------------------------------------------------------------
+# One-shot forward kernel (short KV)
+#
+# r3 finding: when the whole KV sequence fits one block, the streaming kernel
+# degenerates to num_kv==1 — every grid step runs init+finish and exposes its
+# DMAs serially (~4-6 µs/step of overhead on v5e), capping S=1024 self-attn
+# at ~10 TFLOP/s. The one-shot kernel does the full softmax in-register with
+# no scratch carries; K/V block index is constant per bh so Mosaic keeps it
+# VMEM-resident across the q loop. Measured (same scan harness): S=1024
+# self-attn 4.16 ms → 2.35 ms; cross-attn (KV=77) 5.6 ms → 2.2 ms.
+# --------------------------------------------------------------------------
+def _flash_fwd_oneshot_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, kv_len: int, block_kv: int
+):
+    s = jax.lax.dot_general(
+        q_ref[0],
+        k_ref[0],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if kv_len % block_kv != 0:
+        gkv = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(gkv < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p / l).astype(v_ref.dtype),
+        v_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+    lse_ref[0, 0] = (m[:, 0] + jnp.log(l[:, 0])).astype(jnp.float32)
+
+
+# KV lengths up to this use the one-shot kernel (skv_p ≤ 1024 ⇒ the fp32
+# score block at block_q=512 is ≤ 2 MB — far inside the 16 MB scoped VMEM).
+_ONESHOT_KV_MAX = int(os.environ.get("FLASH_TPU_ONESHOT_KV_MAX", "1024"))
+
+
+def _flash_fwd_oneshot_bhsd(q, k, v, scale: float, block_q: int = 512):
+    bh, sq, d = q.shape
+    kv_len = k.shape[1]
+    skv_p = _round_up(kv_len, 128)
+    block_q = min(block_q, _round_up(sq, 128))
+    sq_p = _round_up(sq, block_q)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if skv_p != kv_len:
+        k = jnp.pad(k, ((0, 0), (0, skv_p - kv_len), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, skv_p - kv_len), (0, 0)))
+    grid = (bh, sq_p // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_oneshot_kernel, scale=scale, kv_len=kv_len, block_kv=skv_p
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_p, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_p, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, sq_p), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_p * skv_p * d,
+            bytes_accessed=(bh * (2 * sq_p + 2 * skv_p) * d) * q.dtype.itemsize,
+            transcendentals=bh * sq_p * skv_p,
+        ),
+        interpret=_INTERPRET,
+    )(q, k, v)
+    return out[:, :sq, :], lse[:, :, :sq]
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
 def _flash_fwd_bhsd(
     q: jnp.ndarray,
@@ -138,6 +219,8 @@ def _flash_fwd_bhsd(
     """Flash forward over (BH, S, D); returns (out [BH,Sq,D], lse [BH,Sq])."""
     bh, sq, d = q.shape
     kv_len = k.shape[1]
+    if _round_up(kv_len, 128) <= _ONESHOT_KV_MAX:
+        return _flash_fwd_oneshot_bhsd(q, k, v, scale, block_q=block_q)
     block_q = min(block_q, _round_up(sq, 128))
     block_kv = min(block_kv, _round_up(kv_len, 128))
 
