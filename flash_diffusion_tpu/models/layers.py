@@ -218,6 +218,22 @@ class Attention(nn.Module):
         return LoraDense(out_dim, dtype=self.dtype, name="to_out")(out)
 
 
+def _gate_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-gelu semantics at the compute precision in use.
+
+    diffusers' GEGLU gates with F.gelu (erf form). On TPU the erf lowering is
+    a slow rational: measured 48 ms of a 517 ms SDXL 1024² batch-8 forward
+    (9%), while tanh-gelu hits the fast tanh path and costs ~nothing. The
+    tanh form deviates from exact gelu by ≤ 4.74e-4 absolute (at x≈2.69,
+    where bf16 ulp is 0.0156) — under bf16 compute the difference is below
+    the representation's own rounding, so bf16 uses tanh and fp32 (parity
+    tests, imports) keeps exact erf.
+    """
+    if x.dtype == jnp.bfloat16:
+        return nn.gelu(x, approximate=True)
+    return nn.gelu(x, approximate=False)
+
+
 class GEGLUFeedForward(nn.Module):
     """GEGLU MLP: proj to 2·inner, gelu-gate, project back."""
 
@@ -230,8 +246,9 @@ class GEGLUFeedForward(nn.Module):
         inner = dim * self.mult
         x = LoraDense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         x, gate = jnp.split(x, 2, axis=-1)
-        # diffusers GEGLU gates with EXACT gelu (F.gelu default), not tanh
-        x = x * nn.gelu(gate, approximate=False)
+        # diffusers GEGLU gates with EXACT gelu (F.gelu default), not tanh;
+        # see _gate_gelu for the bf16 fast path
+        x = x * _gate_gelu(gate)
         return LoraDense(dim, dtype=self.dtype, name="proj_out")(x)
 
 
