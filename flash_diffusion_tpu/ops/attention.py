@@ -395,6 +395,104 @@ def _flash_bwd_dq_kernel(
         dq_ref[0] = (dq_scratch[:] * scale).astype(dq_ref.dtype)
 
 
+# --------------------------------------------------------------------------
+# One-shot backward (short Sq AND short KV): dq, dk, dv from a single kernel
+# with one grid step per head — one HBM read of q/k/v/do instead of two
+# (the streaming dkv+dq pair), and none of the per-step init/finish DMA
+# exposure that dominates short-sequence grids (see the forward one-shot
+# note). Intermediates: three [skv_p, sq_p] fp32 tiles ≈ 12 MB at 1024² —
+# inside the 16 MB scoped-VMEM limit.
+# --------------------------------------------------------------------------
+def _flash_bwd_oneshot_kernel(
+    q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+    dq_ref, dk_ref, dv_ref, *, scale: float, kv_len: int, skv_p: int
+):
+    q = q_ref[0]
+    do = do_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    st = (
+        jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # (skv, sq)
+    if kv_len != skv_p:
+        gkv = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(gkv < kv_len, st, _NEG_INF)
+    pt = jnp.exp(st - lse[None, :])
+    dv_ref[0] = jax.lax.dot_general(
+        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dpt = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (skv, sq)
+    dst = pt * (dpt - delta[None, :])
+    dk_ref[0] = (
+        jax.lax.dot_general(
+            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    ).astype(dk_ref.dtype)
+    dq_ref[0] = (
+        jax.lax.dot_general(
+            dst.astype(k.dtype), k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    ).astype(dq_ref.dtype)
+
+
+def _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale: float):
+    bh, sq, d = q.shape
+    kv_len = k.shape[1]
+    sq_p = _round_up(sq, 128)
+    skv_p = _round_up(kv_len, 128)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)[:, None, :]
+    if sq_p != sq:
+        pad_q = ((0, 0), (0, sq_p - sq), (0, 0))
+        q = jnp.pad(q, pad_q)
+        do = jnp.pad(do, pad_q)
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))
+    if skv_p != kv_len:
+        pad_kv = ((0, 0), (0, skv_p - kv_len), (0, 0))
+        k = jnp.pad(k, pad_kv)
+        v = jnp.pad(v, pad_kv)
+    q_spec = pl.BlockSpec((1, sq_p, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, sq_p), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, skv_p, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_oneshot_kernel, scale=scale, kv_len=kv_len, skv_p=skv_p
+        ),
+        grid=(bh,),
+        in_specs=[q_spec, q_spec, row_spec, row_spec, kv_spec, kv_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, skv_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv_p, d), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * sq_p * skv_p * d,
+            bytes_accessed=(bh * (4 * sq_p + 4 * skv_p) * d) * q.dtype.itemsize,
+            transcendentals=bh * sq_p * skv_p,
+        ),
+        interpret=_INTERPRET,
+    )(q, do, lse, delta, k, v)
+    return dq[:, :sq], dk[:, :kv_len], dv[:, :kv_len]
+
+
+# Sq and KV both within this bound use the one-shot backward (three
+# [skv_p, sq_p] fp32 intermediates must fit scoped VMEM).
+_ONESHOT_BWD_MAX = int(os.environ.get("FLASH_TPU_ONESHOT_BWD_MAX", "1024"))
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_kv")
 )
@@ -414,6 +512,11 @@ def _flash_bwd_bhsd(
 ):
     bh, sq, d = q.shape
     kv_len = k.shape[1]
+    if (
+        _round_up(sq, 128) <= _ONESHOT_BWD_MAX
+        and _round_up(kv_len, 128) <= _ONESHOT_BWD_MAX
+    ):
+        return _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale)
     block_q = min(block_q, _round_up(sq, 128))
     block_kv = min(block_kv, _round_up(kv_len, 128))
     sq_p = _round_up(sq, block_q)

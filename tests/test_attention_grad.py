@@ -34,13 +34,21 @@ def test_pallas_vjp_matches_xla_grads():
         assert np.allclose(np.array(a), np.array(b), atol=1e-4)
 
 
-def test_flash_bwd_multiblock_accumulation():
-    """dq/dk/dv accumulate correctly across >1 q-block and >1 kv-block,
-    including a ragged (padded+masked) kv tail."""
+def test_flash_bwd_multiblock_accumulation(monkeypatch):
+    """STREAMING dq/dk/dv kernels accumulate correctly across >1 q-block and
+    >1 kv-block, including a ragged (padded+masked) kv tail. (The one-shot
+    fwd/bwd dispatch is forced off so the blocked kernels stay covered.)"""
+    from flash_diffusion_tpu.ops import attention as A
     from flash_diffusion_tpu.ops.attention import (
         _flash_bwd_bhsd,
         _flash_fwd_bhsd,
     )
+
+    monkeypatch.setattr(A, "_ONESHOT_KV_MAX", 0)
+    monkeypatch.setattr(A, "_ONESHOT_BWD_MAX", 0)
+    # the dispatch happens at trace time — drop any cached traces
+    _flash_fwd_bhsd.clear_cache()
+    _flash_bwd_bhsd.clear_cache()
 
     kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(1), 4)
     bh, sq, skv, d = 2, 384, 320, 32  # 3 q-blocks / 3 kv-blocks at 128
