@@ -179,14 +179,63 @@ def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+class _FoldedUpConv(nn.Module):
+    """nearest-×2 upsample + 3×3 conv, computed at LOW resolution.
+
+    Exact sub-pixel reorganization: out[2i+di, 2j+dj] reads only input rows
+    {i-1, i} (di=0) or {i, i+1} (di=1) of the ORIGINAL grid, with kernel taps
+    summed per parity — so the whole op is one low-res 3×3 conv to 4·C
+    channels (one zero tap row/col per parity) followed by depth-to-space.
+    Same FLOPs as the high-res conv, but the ×2-broadcast + pad + copy
+    materializations of the upsampled tensor disappear (the r3 VAE-decode
+    trace showed ~19 ms/image of those at 1024²), and the conv's output is
+    4×-wider (better MXU lane use at batch 1).
+
+    Param layout is identical to ``nn.Conv`` (``kernel`` [3,3,Cin,Cout] +
+    ``bias``), so the diffusers checkpoint border and the param tree are
+    unchanged; folding happens on the fly (81·Cin·Cout multiply-adds).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        # per-parity tap folding: row taps of the high-res conv collapse onto
+        # low-res rows {i-1, i} (parity 0: W0 | W1+W2) or {i, i+1}
+        # (parity 1: W0+W1 | W2); same along columns.
+        r0 = jnp.array([[1, 0, 0], [0, 1, 1], [0, 0, 0]], kernel.dtype)
+        r1 = jnp.array([[0, 0, 0], [1, 1, 0], [0, 0, 1]], kernel.dtype)
+        rows = jnp.stack([r0, r1])  # [2, 3(a), 3(k)]
+        # K4[a, b, i, di, dj, o] = Σ_{k,l} rows[di,a,k]·rows[dj,b,l]·W[k,l,i,o]
+        k4 = jnp.einsum("dak,ebl,klio->abideo", rows, rows, kernel)
+        k4 = k4.reshape(3, 3, cin, 4 * self.features)
+        y = jax.lax.conv_general_dilated(
+            x,
+            k4,
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # depth-to-space: channel groups are (di, dj)-major
+        y = y.reshape(b, h, w, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, self.features)
+        return y + bias
+
+
 class Upsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nearest_upsample_2x(x)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return _FoldedUpConv(self.out_channels, dtype=self.dtype, name="conv")(x)
 
 
 class Attention(nn.Module):

@@ -115,15 +115,16 @@ class Decoder(nn.Module):
         if cfg.mid_block_attn:
             h = _AttnBlock(g, dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock2D(ch, None, g, eps=1e-6, dtype=self.dtype, name="mid_resnet_1")(h)
-        from .layers import nearest_upsample_2x
+        from .layers import _FoldedUpConv
 
         for i, lvl in enumerate(reversed(range(len(cfg.block_out_channels)))):
             ch = cfg.block_out_channels[lvl]
             for j in range(cfg.layers_per_block + 1):
                 h = ResnetBlock2D(ch, None, g, eps=1e-6, dtype=self.dtype, name=f"up_{lvl}_resnet_{j}")(h)
             if i < len(cfg.block_out_channels) - 1:
-                h = nearest_upsample_2x(h)
-                h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"up_{lvl}_upsample")(h)
+                # nearest-×2 + conv3×3 computed at LOW res (exact sub-pixel
+                # fold — see _FoldedUpConv); params identical to nn.Conv
+                h = _FoldedUpConv(ch, dtype=self.dtype, name=f"up_{lvl}_upsample")(h)
         h = GroupNorm(g, eps=1e-6, act="silu", name="conv_norm_out")(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 

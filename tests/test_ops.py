@@ -133,6 +133,28 @@ def test_layer_norm_ineligible_shapes_fall_back():
     assert np.allclose(np.array(out), _ln_ref(x), atol=1e-4)
 
 
+def test_folded_upsample_conv_exact():
+    """_FoldedUpConv (low-res sub-pixel fold) == nearest-×2 + 3×3 conv with
+    the SAME kernel params, to float tolerance, including borders."""
+    import flax.linen as nn
+    from flash_diffusion_tpu.models.layers import _FoldedUpConv, nearest_upsample_2x
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 5, 7, 6))
+    folded = _FoldedUpConv(4)
+    params = folded.init(jax.random.PRNGKey(1), x)
+    y = folded.apply(params, x)
+
+    w = params["params"]["kernel"]
+    b = params["params"]["bias"]
+    up = nearest_upsample_2x(x)
+    ref = jax.lax.conv_general_dilated(
+        up, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    assert y.shape == ref.shape == (2, 10, 14, 4)
+    assert np.allclose(np.array(y), np.array(ref), atol=1e-5), np.abs(np.array(y) - np.array(ref)).max()
+
+
 def test_layer_norm_and_modulate():
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 6))
     out = layer_norm(x)
