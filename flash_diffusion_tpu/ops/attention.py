@@ -488,9 +488,21 @@ def _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale: float):
     return dq[:, :sq], dk[:, :kv_len], dv[:, :kv_len]
 
 
-# Sq and KV both within this bound use the one-shot backward (three
-# [skv_p, sq_p] fp32 intermediates must fit scoped VMEM).
+# KV within this bound AND the three [skv_p, sq_p] fp32 intermediates within
+# the scoped-VMEM budget use the one-shot backward. Covers S=1024 self-attn
+# (1024×1024: 12 MB) and ALL KV=77 cross-attention incl. S=4096 (128×4096:
+# 6 MB) — in both, the streaming pair degenerates to single-inner-step grids.
 _ONESHOT_BWD_MAX = int(os.environ.get("FLASH_TPU_ONESHOT_BWD_MAX", "1024"))
+_ONESHOT_BWD_VMEM_BUDGET = 12.5 * 2**20
+
+
+def _use_oneshot_bwd(sq: int, kv_len: int) -> bool:
+    sq_p = _round_up(sq, 128)
+    skv_p = _round_up(kv_len, 128)
+    return (
+        skv_p <= _ONESHOT_BWD_MAX
+        and 3 * 4 * sq_p * skv_p <= _ONESHOT_BWD_VMEM_BUDGET
+    )
 
 
 @functools.partial(
@@ -512,10 +524,7 @@ def _flash_bwd_bhsd(
 ):
     bh, sq, d = q.shape
     kv_len = k.shape[1]
-    if (
-        _round_up(sq, 128) <= _ONESHOT_BWD_MAX
-        and _round_up(kv_len, 128) <= _ONESHOT_BWD_MAX
-    ):
+    if _use_oneshot_bwd(sq, kv_len):
         return _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale)
     block_q = min(block_q, _round_up(sq, 128))
     block_kv = min(block_kv, _round_up(kv_len, 128))
