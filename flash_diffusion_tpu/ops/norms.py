@@ -24,6 +24,153 @@ _INTERPRET = os.environ.get("FLASH_TPU_PALLAS_INTERPRET", "0") == "1"
 _DISABLE_PALLAS = os.environ.get("FLASH_TPU_DISABLE_PALLAS", "0") == "1"
 
 
+# ---------------------------------------------------------------------------
+# Pallas GroupNorm statistics
+#
+# The r3 VAE-decode trace showed the per-image (batch-1) GN stats reduces
+# running at ~72 GB/s (~10× over byte cost): XLA reduces [1, H, W, C] over
+# the spatial dims with the batch dim in the sublanes, so at batch 1 the VPU
+# runs at 1/8 occupancy. The kernel below accumulates per-CHANNEL fp32
+# sum/sumsq over a 2-D [N, C] view (rows = spatial, always sublane-dense);
+# the tiny [B, C] → [B, g] group fold, the affine, and the normalize pass
+# stay in XLA (the elementwise apply fuses into the consumer conv).
+# ---------------------------------------------------------------------------
+
+
+def _gn_stats_kernel(x_ref, sum_ref, sumsq_ref, acc_ref):
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xf = x_ref[0].astype(jnp.float32)
+    # two stacked accumulator rows: [0] = Σx, [1] = Σx²  (shape [2, 8, C];
+    # the 8-sublane dim keeps partial sums vector-shaped until the final fold)
+    rows = x_ref.shape[1]
+    part = xf.reshape(rows // 8, 8, xf.shape[-1])
+    acc_ref[0] += jnp.sum(part, axis=0)
+    acc_ref[1] += jnp.sum(part * part, axis=0)
+
+    @pl.when(i == n - 1)
+    def _finish():
+        sum_ref[0] = jnp.sum(acc_ref[0], axis=0, keepdims=True)[0]
+        sumsq_ref[0] = jnp.sum(acc_ref[1], axis=0, keepdims=True)[0]
+
+
+def _gn_stats_pallas(x2: jnp.ndarray, b: int):
+    """Per-channel (Σx, Σx²) for each of b segments of the [B·N, C] view."""
+    bn, c = x2.shape
+    n = bn // b
+    rows = 256
+    while rows > 8 and (n % rows != 0 or rows * c * x2.dtype.itemsize > 2_097_152):
+        rows //= 2
+    if n % rows != 0:
+        return None
+    x3 = x2.reshape(b, n, c)
+    s, ss = pl.pallas_call(
+        _gn_stats_kernel,
+        grid=(b, n // rows),
+        in_specs=[
+            pl.BlockSpec((1, rows, c), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c), lambda b_, i: (b_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b_, i: (b_, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, 8, c), jnp.float32)],
+        interpret=_INTERPRET,
+    )(x3)
+    return s, ss
+
+
+def _gn_eligible(x: jnp.ndarray, num_groups: int) -> bool:
+    if _DISABLE_PALLAS:
+        return False
+    if not _INTERPRET and jax.default_backend() in ("cpu",):
+        return False
+    if x.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    c = x.shape[-1]
+    n = 1
+    for s in x.shape[1:-1]:
+        n *= s
+    # only worth dispatching where the XLA reduce is starved: batch 1 (the
+    # scanned VAE decode) with a large spatial extent
+    return x.shape[0] == 1 and c % 128 == 0 and n >= 4096 and n % 8 == 0
+
+
+def _gn_fold_stats(s, ss, scale, bias, b, c, g, n, eps, orig_dtype):
+    """[B,C] channel sums → per-group mean/inv → folded per-channel (w, b̂)."""
+    gs = s.reshape(b, g, c // g).sum(-1)
+    gss = ss.reshape(b, g, c // g).sum(-1)
+    mean = gs / n
+    var = jnp.maximum(gss / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, c // g, axis=1)  # [B, C]
+    inv_c = jnp.repeat(inv, c // g, axis=1)
+    s32 = scale.astype(jnp.float32)[None, :]
+    w = (inv_c * s32).astype(orig_dtype)
+    b_ = (bias.astype(jnp.float32)[None, :] - mean_c * inv_c * s32).astype(orig_dtype)
+    return w, b_, mean, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gn_p(x, scale, bias, g, eps):
+    y, _ = _gn_p_fwd(x, scale, bias, g, eps)
+    return y
+
+
+def _gn_p_fwd(x, scale, bias, g, eps):
+    b = x.shape[0]
+    c = x.shape[-1]
+    x2 = x.reshape(-1, c)
+    s, ss = _gn_stats_pallas(x2, b)
+    n = (x2.shape[0] // b) * (c // g)
+    w, b_, mean, inv = _gn_fold_stats(s, ss, scale, bias, b, c, g, n, eps, x.dtype)
+    shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    y = x * w.reshape(shape) + b_.reshape(shape)
+    return y, (x, scale, bias, mean, inv)
+
+
+def _gn_p_bwd(g, eps, res, dy):
+    x, scale, bias, mean, inv = res
+    b = x.shape[0]
+    c = x.shape[-1]
+    cg = c // g
+    shp = x.shape
+    x2 = x.reshape(b, -1, c).astype(jnp.float32)
+    dy2 = dy.reshape(b, -1, c).astype(jnp.float32)
+    mean_c = jnp.repeat(mean, cg, axis=1)[:, None, :]
+    inv_c = jnp.repeat(inv, cg, axis=1)[:, None, :]
+    xhat = (x2 - mean_c) * inv_c
+    dyg = dy2 * scale.astype(jnp.float32)[None, None, :]
+    n = x2.shape[1] * cg
+    s1 = jnp.sum(dyg, axis=1)  # [b, c]
+    s2 = jnp.sum(dyg * xhat, axis=1)
+    m1 = jnp.repeat(s1.reshape(b, g, cg).sum(-1) / n, cg, axis=1)[:, None, :]
+    m2 = jnp.repeat(s2.reshape(b, g, cg).sum(-1) / n, cg, axis=1)[:, None, :]
+    dx = (inv_c * (dyg - m1 - xhat * m2)).astype(x.dtype).reshape(shp)
+    dscale = jnp.sum(dy2 * xhat, axis=(0, 1)).astype(scale.dtype)
+    dbias = jnp.sum(dy2, axis=(0, 1)).astype(bias.dtype)
+    return dx, dscale, dbias
+
+
+_gn_p.defvjp(_gn_p_fwd, _gn_p_bwd)
+
+
+def _gn_pallas_stats_path(x, num_groups, scale, bias, eps, act):
+    y = _gn_p(x, scale, bias, num_groups, float(eps))
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    return y
+
+
 def group_norm(
     x: jnp.ndarray,
     num_groups: int,
@@ -38,6 +185,8 @@ def group_norm(
       x: [B, H, W, C] (or [B, S, C]).
       scale/bias: [C].
     """
+    if _gn_eligible(x, num_groups):
+        return _gn_pallas_stats_path(x, num_groups, scale, bias, eps, act)
     orig_dtype = x.dtype
     b = x.shape[0]
     c = x.shape[-1]

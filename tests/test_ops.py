@@ -133,6 +133,47 @@ def test_layer_norm_ineligible_shapes_fall_back():
     assert np.allclose(np.array(out), _ln_ref(x), atol=1e-4)
 
 
+def test_group_norm_pallas_stats_path():
+    """Batch-1 large-spatial GN dispatches to the Pallas stats kernel
+    (interpret mode under conftest); numerics + closed-form VJP vs the jnp
+    fallback."""
+    from flash_diffusion_tpu.ops import norms
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 128)) * 2 + 0.3
+    g = 32
+    scale = jax.random.normal(jax.random.PRNGKey(1), (128,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(2), (128,)) * 0.1
+    assert norms._gn_eligible(x, g)
+
+    def fallback(x, scale, bias, act=None):
+        b, c = x.shape[0], x.shape[-1]
+        xg = x.reshape(b, -1, g, c // g)
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+        out = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
+        out = out.reshape(x.shape) * scale + bias
+        if act == "silu":
+            out = out * jax.nn.sigmoid(out)
+        return out
+
+    for act in (None, "silu"):
+        y = group_norm(x, g, scale, bias, act=act)
+        ref = fallback(x, scale, bias, act=act)
+        assert np.allclose(np.array(y), np.array(ref), atol=2e-4), (
+            act, np.abs(np.array(y) - np.array(ref)).max())
+
+    lp = lambda x, s, b: jnp.sum(jnp.cos(group_norm(x, g, s, b)))
+    lf = lambda x, s, b: jnp.sum(jnp.cos(fallback(x, s, b)))
+    gp = jax.grad(lp, argnums=(0, 1, 2))(x, scale, bias)
+    gf = jax.grad(lf, argnums=(0, 1, 2))(x, scale, bias)
+    for a, r in zip(gp, gf):
+        assert np.allclose(np.array(a), np.array(r), atol=2e-3), (
+            np.abs(np.array(a) - np.array(r)).max())
+
+    # batch>1 stays on the (conv-fusable) jnp path
+    assert not norms._gn_eligible(jnp.zeros((2, 64, 64, 128)), g)
+
+
 def test_folded_upsample_conv_exact():
     """_FoldedUpConv (low-res sub-pixel fold) == nearest-×2 + 3×3 conv with
     the SAME kernel params, to float tolerance, including borders."""
