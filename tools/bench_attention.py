@@ -165,6 +165,36 @@ def main():
     t = bench_fwd_bwd(bh, s, d)
     print(f"  {t:.1f} TFLOP/s")
 
+    # --- short-sequence (one-shot) kernels: S=1024 self + KV=77 cross ---
+    print("\n## short-KV one-shot vs streaming (BH=160 S=1024 D=64)")
+    saved_kv, saved_bwd = A._ONESHOT_KV_MAX, A._ONESHOT_BWD_MAX
+    for label, oneshot in (("one-shot", True), ("streaming", False)):
+        A._ONESHOT_KV_MAX = 1024 if oneshot else 0
+        A._ONESHOT_BWD_MAX = 1024 if oneshot else 0
+        A._flash_fwd_bhsd.clear_cache()
+        A._flash_bwd_bhsd.clear_cache()
+        t = bench_fwd(160, 1024, 64, 512, 1024)
+        tb = bench_fwd_bwd(160, 1024, 64)
+        print(f"  {label:10s}: fwd {t:6.1f} TFLOP/s   fwd+bwd {tb:6.1f} TFLOP/s", flush=True)
+    A._ONESHOT_KV_MAX, A._ONESHOT_BWD_MAX = saved_kv, saved_bwd
+    A._flash_fwd_bhsd.clear_cache()
+    A._flash_bwd_bhsd.clear_cache()
+
+    print("\n## cross-attention (BH=160 Sq=1024 KV=77) wall ms per call")
+    q = jax.random.normal(jax.random.PRNGKey(0), (160, 1024, 64), jnp.bfloat16)
+    kv = jax.random.normal(jax.random.PRNGKey(1), (160, 77, 64), jnp.bfloat16)
+
+    @jax.jit
+    def run_cross(q, kv):
+        def body(x, _):
+            o, _lse = A._flash_fwd_bhsd(x, kv, kv, scale=0.125)
+            return o, None
+        o, _ = jax.lax.scan(body, q, None, length=20)
+        return o.mean()
+
+    dt = _timed_scalar(run_cross, q, kv, iters=20)
+    print(f"  one-shot: {dt*1e3:.3f} ms")
+
 
 if __name__ == "__main__":
     main()
