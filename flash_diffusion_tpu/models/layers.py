@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dot_product_attention, group_norm, layer_norm
+from ..ops.gemm import down_proj_gemm
 
 
 def timestep_embedding(
@@ -64,6 +65,9 @@ class LoraDense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # opt-in Pallas GEMM for the deep-contraction/narrow-output shape family
+    # XLA schedules badly (the GEGLU down projection; see ops/gemm.py)
+    down_proj: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -81,7 +85,11 @@ class LoraDense(nn.Module):
         if not self.is_initializing() and self.has_variable("lora", "kernel"):
             ab = self.get_variable("lora", "kernel")
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
-        y = x @ kernel
+        if self.down_proj:
+            y = down_proj_gemm(x, kernel, bias)
+            bias = None  # folded into the kernel's final store
+        else:
+            y = x @ kernel
         if ab is not None:
             a = ab["a"].astype(y.dtype)
             b = ab["b"].astype(y.dtype)
@@ -298,6 +306,9 @@ class GEGLUFeedForward(nn.Module):
         # diffusers GEGLU gates with EXACT gelu (F.gelu default), not tanh;
         # see _gate_gelu for the bf16 fast path
         x = x * _gate_gelu(gate)
+        # down_proj=True (Pallas GEMM) pending an on-chip A/B — the XLA
+        # emitter for this shape family measured 46 TF/s vs 96 for the
+        # up-projection (see ops/gemm.py)
         return LoraDense(dim, dtype=self.dtype, name="proj_out")(x)
 
 

@@ -174,6 +174,35 @@ def test_group_norm_pallas_stats_path():
     assert not norms._gn_eligible(jnp.zeros((2, 64, 64, 128)), g)
 
 
+def test_down_proj_gemm_matches_xla():
+    """Pallas down-proj GEMM (interpret mode): fwd + custom-VJP grads vs a
+    plain jnp matmul."""
+    from flash_diffusion_tpu.ops import gemm
+
+    m, k, n = 1024, 2048, 128
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, m // 4, k)) * 0.5
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n)) * 0.02
+    b = jax.random.normal(jax.random.PRNGKey(2), (n,)) * 0.1
+    assert gemm.gemm_eligible(m, k, n)
+
+    y = gemm.down_proj_gemm(x, w, b)
+    ref = x @ w + b
+    assert np.allclose(np.array(y), np.array(ref), atol=2e-2), np.abs(np.array(y) - np.array(ref)).max()
+
+    lp = lambda x, w, b: jnp.sum(jnp.sin(gemm.down_proj_gemm(x, w, b)))
+    lr = lambda x, w, b: jnp.sum(jnp.sin(x @ w + b))
+    gp = jax.grad(lp, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(gp, gr):
+        assert np.allclose(np.array(a), np.array(r), atol=5e-2), np.abs(np.array(a) - np.array(r)).max()
+
+    # out-of-family shapes stay on jnp
+    assert not gemm.gemm_eligible(512, 2048, 128)   # m too small
+    assert not gemm.gemm_eligible(1024, 256, 128)   # contraction too shallow
+    assert not gemm.gemm_eligible(1024, 2048, 4096) # output too wide
+
+
 def test_folded_upsample_conv_exact():
     """_FoldedUpConv (low-res sub-pixel fold) == nearest-×2 + 3×3 conv with
     the SAME kernel params, to float tolerance, including borders."""
