@@ -162,6 +162,255 @@ def _flash_fwd_oneshot_kernel(
 _ONESHOT_KV_MAX = int(os.environ.get("FLASH_TPU_ONESHOT_KV_MAX", "1024"))
 
 
+# --------------------------------------------------------------------------
+# Packed-layout forward ([B, S, H·D] — the projection's native output)
+#
+# The r3 SDXL trace showed the q/k/v/out head transposes ([B,S,H,D] ⇄
+# [B·H,S,D]) costing ~28 ms per batch-8 forward at roofline bandwidth —
+# pure relayout traffic the per-head kernels force. These kernels instead
+# block the FULL feature axis (block last dim = H·D = the whole array dim,
+# so every HBM stream is contiguous and min-tile-legal) and loop heads
+# *inside* the grid step over static 64/128-wide lane slices. Per-head
+# running max / denominator live in lane columns of one (bq, 128) scratch.
+#
+# Inference-only by design: the custom-VJP *primal* dispatches here (no lse
+# output needed), while differentiation keeps the BHSD kernels whose saved
+# tensors feed the flash backward without extra relayouts.
+# --------------------------------------------------------------------------
+def _flash_fwd_packed_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    scale: float,
+    kv_len: int,
+    block_kv: int,
+    num_heads: int,
+    head_dim: int,
+):
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # (bq, H·D)
+    k = k_ref[0]  # (bkv, H·D)
+    v = v_ref[0]
+    ragged = kv_len % block_kv != 0
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = (
+            jax.lax.dot_general(
+                q[:, sl],
+                k[:, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # (bq, bkv)
+        if ragged:
+            gkv = kv_idx * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1
+            )
+            s = jnp.where(gkv < kv_len, s, _NEG_INF)
+        m_prev = m_scratch[:, h : h + 1]
+        l_prev = l_scratch[:, h : h + 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v[:, sl],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[:, sl] = acc_scratch[:, sl] * alpha + pv
+        m_scratch[:, h : h + 1] = m_new
+        l_scratch[:, h : h + 1] = l_new
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _finish():
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            l = l_scratch[:, h : h + 1]
+            o_ref[0, :, sl] = (acc_scratch[:, sl] / l).astype(o_ref.dtype)
+
+
+def _flash_fwd_oneshot_packed_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    *,
+    scale: float,
+    kv_len: int,
+    block_kv: int,
+    num_heads: int,
+    head_dim: int,
+):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    ragged = kv_len % block_kv != 0
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = (
+            jax.lax.dot_general(
+                q[:, sl],
+                k[:, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        if ragged:
+            gkv = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(gkv < kv_len, s, _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / l).astype(v.dtype),
+            v[:, sl],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+# Conservative scoped-VMEM budget for the packed block search (the real
+# limit is ~16 MB; transient score/prob blocks double-count here).
+_PACKED_VMEM_BUDGET = 10.5 * 2**20
+
+
+def _packed_vmem(bq: int, bkv: int, hd: int, itemsize: int, oneshot: bool) -> int:
+    return (
+        2 * bq * hd * itemsize  # q + o
+        + 2 * bkv * hd * itemsize  # k + v
+        + (0 if oneshot else 4 * bq * hd)  # fp32 acc carry
+        + 2 * 4 * bq * bkv  # fp32 score + prob transients
+        + (0 if oneshot else 2 * 4 * bq * 128)  # m/l scratch
+    )
+
+
+def _packed_blocks(sq: int, kv_len: int, hd: int, itemsize: int, oneshot: bool):
+    """(block_q, block_kv) maximizing block area within the VMEM budget.
+
+    One-shot mode fixes block_kv to the whole padded KV axis and searches
+    block_q only; returns None when nothing fits (callers fall back to the
+    per-head BHSD kernels).
+    """
+    if oneshot:
+        bkv = _round_up(kv_len, 128)
+        for bq in (512, 256, 128):
+            if _packed_vmem(bq, bkv, hd, itemsize, True) <= _PACKED_VMEM_BUDGET:
+                return bq, bkv
+        return None
+    best = None
+    for bq in (512, 256, 128):
+        for bkv in (2048, 1024, 512, 256):
+            if _packed_vmem(bq, bkv, hd, itemsize, False) > _PACKED_VMEM_BUDGET:
+                continue
+            if best is None or bq * bkv > best[0] * best[1]:
+                best = (bq, bkv)
+    return best
+
+
+def _packed_eligible(q4) -> bool:
+    if os.environ.get("FLASH_TPU_ATTN_PACKED", "0") != "1":
+        return False
+    _, _, h, d = q4.shape
+    return h >= 2 and d in (64, 128)
+
+
+def _flash_fwd_packed(q4, k4, v4, scale: float):
+    """Forward-only flash attention in [B, Sq, H, D] without head transposes.
+
+    Reshapes to the projection-native [B, S, H·D] (free — same layout),
+    runs the packed kernel, returns [B, Sq, H, D].
+    """
+    b, sq, h, d = q4.shape
+    kv_len = k4.shape[1]
+    hd = h * d
+    q = q4.reshape(b, sq, hd)
+    k = k4.reshape(b, kv_len, hd)
+    v = v4.reshape(b, kv_len, hd)
+
+    oneshot = _round_up(kv_len, 128) <= _ONESHOT_KV_MAX
+    blocks = _packed_blocks(sq, kv_len, hd, q.dtype.itemsize, oneshot)
+    if blocks is None:
+        return None
+    block_q, block_kv = blocks
+    block_q = min(block_q, _round_up(sq, 128))
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(kv_len, block_kv)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if skv_p != kv_len:
+        k = jnp.pad(k, ((0, 0), (0, skv_p - kv_len), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, skv_p - kv_len), (0, 0)))
+
+    q_spec = pl.BlockSpec((1, block_q, hd), lambda bi, i, *rest: (bi, i, 0), memory_space=pltpu.VMEM)
+    kv_spec_stream = pl.BlockSpec((1, block_kv, hd), lambda bi, i, j: (bi, j, 0), memory_space=pltpu.VMEM)
+    kv_spec_one = pl.BlockSpec((1, block_kv, hd), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, sq_p, hd), q.dtype)
+    cost = pl.CostEstimate(
+        flops=4 * b * h * sq_p * skv_p * d,
+        bytes_accessed=(b * (2 * sq_p + 2 * skv_p) * hd) * q.dtype.itemsize,
+        transcendentals=b * h * sq_p * skv_p,
+    )
+    if oneshot:
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_fwd_oneshot_packed_kernel,
+                scale=scale,
+                kv_len=kv_len,
+                block_kv=block_kv,
+                num_heads=h,
+                head_dim=d,
+            ),
+            grid=(b, sq_p // block_q),
+            in_specs=[q_spec, kv_spec_one, kv_spec_one],
+            out_specs=q_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=_INTERPRET,
+        )(q, k, v)
+    else:
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_fwd_packed_kernel,
+                scale=scale,
+                kv_len=kv_len,
+                block_kv=block_kv,
+                num_heads=h,
+                head_dim=d,
+            ),
+            grid=(b, sq_p // block_q, skv_p // block_kv),
+            in_specs=[q_spec, kv_spec_stream, kv_spec_stream],
+            out_specs=q_spec,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, hd), jnp.float32),
+            ],
+            cost_estimate=cost,
+            interpret=_INTERPRET,
+        )(q, k, v)
+    return out[:, :sq, :].reshape(b, sq, h, d)
+
+
 def _flash_fwd_oneshot_bhsd(q, k, v, scale: float, block_q: int = 512):
     bh, sq, d = q.shape
     kv_len = k.shape[1]
@@ -623,6 +872,14 @@ def _from_bhsd(x, b, h):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _pallas_attention_vjp(q, k, v, scale):
+    # Primal (inference / no-grad) path: the packed-layout kernel skips all
+    # four head transposes. Differentiation goes through the fwd rule below,
+    # which keeps the BHSD kernels (their saved tensors feed the flash
+    # backward with no extra relayout).
+    if _packed_eligible(q):
+        out = _flash_fwd_packed(q, k, v, scale)
+        if out is not None:
+            return out
     b, _, h, _ = q.shape
     out, _ = _flash_fwd_bhsd(_to_bhsd(q), _to_bhsd(k), _to_bhsd(v), scale)
     return _from_bhsd(out, b, h)

@@ -37,6 +37,41 @@ def test_flash_attention_self_attn_square():
     assert np.allclose(np.array(out), np.array(ref), atol=2e-2)
 
 
+def test_flash_attention_packed_layout_matches_xla(monkeypatch):
+    """Packed-layout ([B,S,H·D]) forward == XLA attention on the no-grad
+    (primal) path, for both the streaming (long KV) and one-shot (short
+    KV, ragged 77) kernels."""
+    monkeypatch.setenv("FLASH_TPU_ATTN_PACKED", "1")
+    # streaming: kv long enough to exceed the one-shot bound
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), b=2, sq=256, skv=1280, h=4, d=64)
+    ref = _xla_attention(q, k, v, None, 1.0 / 8.0)
+    out = dot_product_attention(q, k, v, use_pallas=True)
+    assert np.allclose(np.array(out), np.array(ref), atol=2e-2)
+    # one-shot: ragged short KV (cross-attention shape)
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), b=2, sq=192, skv=77, h=4, d=64)
+    ref = _xla_attention(q, k, v, None, 1.0 / 8.0)
+    out = dot_product_attention(q, k, v, use_pallas=True)
+    assert np.allclose(np.array(out), np.array(ref), atol=2e-2)
+
+
+def test_flash_attention_packed_grad_path_unchanged(monkeypatch):
+    """Differentiation under the packed gate still uses the BHSD flash
+    backward (the packed kernel is primal-only) and matches XLA grads."""
+    monkeypatch.setenv("FLASH_TPU_ATTN_PACKED", "1")
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), b=1, sq=128, skv=128, h=2, d=64)
+
+    def loss_pallas(q, k, v):
+        return dot_product_attention(q, k, v, use_pallas=True).sum()
+
+    def loss_ref(q, k, v):
+        return _xla_attention(q, k, v, None, 1.0 / 8.0).sum()
+
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pallas, g_ref):
+        assert np.allclose(np.array(a), np.array(b), atol=5e-2)
+
+
 def test_attention_bias_path():
     q, k, v = _rand_qkv(jax.random.PRNGKey(2), b=2, sq=16, skv=16, h=2, d=8)
     bias = jnp.where(
