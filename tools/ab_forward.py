@@ -1,0 +1,77 @@
+"""Single-dispatch whole-model forward / decode A/B harness.
+
+The r3 measurement discipline (BASELINE.md): scan-loop microbenchmarks on
+this relay carry a multi-ms per-step floor and mis-rank kernels by 5-20x,
+so every optimization is accepted or rejected on the wall time of ONE
+jitted whole-model dispatch closed by a scalar device read (best of N).
+
+Usage:
+  python tools/ab_forward.py --model sdxl --batch 8          # denoiser fwd
+  python tools/ab_forward.py --model sdxl --batch 8 --decode # VAE decode
+  FLASH_TPU_ATTN_PACKED=1 python tools/ab_forward.py ...     # variant under test
+
+Prints one JSON line: {"what": ..., "best_s": ..., "env": {relevant flags}}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="sdxl", choices=["sdxl", "sd15", "pixart", "sd3"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--decode", action="store_true", help="bench the VAE decode instead")
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.argv = ["bench.py"]  # bench.main() argparse guard
+    from bench import build
+
+    net, up, vae, vp, latents, cond, res = build(args.model, args.batch)
+
+    if args.decode:
+        @jax.jit
+        def fwd(vp, z):
+            def body(_, zi):
+                return None, vae.apply(vp, zi[None], method="decode")[0]
+            return jax.lax.scan(body, None, z)[1]
+
+        call_args = (vp, latents.astype(jnp.bfloat16))
+        what = f"{args.model} vae decode scan b{args.batch}"
+    else:
+        @jax.jit
+        def fwd(up, z):
+            t = jnp.full((z.shape[0],), 500.0, jnp.float32)
+            return net.apply(up, z.astype(jnp.bfloat16), t, cond)
+
+        call_args = (up, latents)
+        what = f"{args.model} denoiser fwd b{args.batch}"
+
+    out = fwd(*call_args)
+    _ = float(jnp.asarray(out).mean())  # compile + barrier
+    best = 9e9
+    for _i in range(args.iters):
+        t0 = time.perf_counter()
+        out = fwd(*call_args)
+        _ = float(jnp.asarray(out).mean())
+        best = min(best, time.perf_counter() - t0)
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k.startswith("FLASH_TPU_") and k != "FLASH_TPU_PALLAS_INTERPRET"
+    }
+    print(json.dumps({"what": what, "best_s": round(best, 4), "env": env}))
+
+
+if __name__ == "__main__":
+    main()
