@@ -41,32 +41,28 @@ from flash_diffusion_tpu.utils.hf import (
 )
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl"])
-    ap.add_argument("--weights-root", default="")
-    ap.add_argument("--lora", default=None, help="PEFT safetensors adapter")
-    ap.add_argument("--lora-scale", type=float, default=1.0)
-    ap.add_argument("--prompt", action="append", required=True)
-    ap.add_argument("--steps", type=int, default=4)
-    ap.add_argument("--guidance-scale", type=float, default=0.0)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default="sample.png")
-    ap.add_argument("--random-init", action="store_true")
-    args = ap.parse_args()
-    root = args.weights_root
+def build_pipeline(
+    model: str,
+    weights_root: str = "",
+    random_init: bool = False,
+    lora: str | None = None,
+    lora_scale: float = 1.0,
+    seed: int = 0,
+):
+    """Build a FlashPipeline for sd15/sdxl (shared by sample.py / serve.py)."""
+    root = weights_root
 
-    if args.model == "sd15":
+    if model == "sd15":
         unet_cfg, lat_hw, ctx = sd15_unet_config(), 64, 768
     else:
         unet_cfg, lat_hw, ctx = sdxl_unet_config(), 128, 2048
     unet = UNet2DCondition(unet_cfg, dtype=jnp.bfloat16)
-    vae_cfg = sd_vae_config(scaling_factor=0.13025 if args.model == "sdxl" else 0.18215)
+    vae_cfg = sd_vae_config(scaling_factor=0.13025 if model == "sdxl" else 0.18215)
     vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
     clip = ClipEmbedder(ClipEmbedderConfig(input_key="text", layer="last"))
     conditioner = ConditionerWrapper([clip])
 
-    rng = jax.random.PRNGKey(args.seed)
+    rng = jax.random.PRNGKey(seed)
     dummy = {
         "sample": jnp.zeros((1, lat_hw, lat_hw, 4)),
         "t": jnp.zeros((1,), jnp.int32),
@@ -74,17 +70,17 @@ def main():
     }
     unet_params = maybe_import(
         os.path.join(root, "unet/diffusion_pytorch_model.safetensors"),
-        import_unet, unet_cfg, args.random_init,
+        import_unet, unet_cfg, random_init,
         lambda: init_params_shape_only(unet, dummy["sample"], dummy["t"], dummy["cond"]),
     )
     vae_params = maybe_import(
         os.path.join(root, "vae/diffusion_pytorch_model.safetensors"),
-        import_vae, vae_cfg, args.random_init,
+        import_vae, vae_cfg, random_init,
         lambda: init_params_shape_only(vae, jnp.zeros((1, 64, 64, 3))),
     )
     clip_params = maybe_import(
         os.path.join(root, "text_encoder/model.safetensors"),
-        import_clip_text, clip.encoder_config, args.random_init,
+        import_clip_text, clip.encoder_config, random_init,
         lambda: clip.init(rng, {"text_ids": jnp.zeros((1, 77), jnp.int32)}),
     )
 
@@ -112,13 +108,33 @@ def main():
         tokenizer_fn=tokenizer_fn,
         latent_shape=(lat_hw, lat_hw, 4),
     )
-    if args.lora:
-        lora, scaling = load_peft_safetensors(
-            args.lora, unet_params, unet_lora_name_map(unet_cfg), prefix="unet"
+    if lora:
+        tree, scaling = load_peft_safetensors(
+            lora, unet_params, unet_lora_name_map(unet_cfg), prefix="unet"
         )
-        pipe.load_lora(lora, scaling * args.lora_scale)
-        print(f"loaded LoRA {args.lora} (scaling {scaling * args.lora_scale})")
+        pipe.load_lora(tree, scaling * lora_scale)
+        print(f"loaded LoRA {lora} (scaling {scaling * lora_scale})")
+    return pipe
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl"])
+    ap.add_argument("--weights-root", default="")
+    ap.add_argument("--lora", default=None, help="PEFT safetensors adapter")
+    ap.add_argument("--lora-scale", type=float, default=1.0)
+    ap.add_argument("--prompt", action="append", required=True)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--guidance-scale", type=float, default=0.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="sample.png")
+    ap.add_argument("--random-init", action="store_true")
+    args = ap.parse_args()
+
+    pipe = build_pipeline(
+        args.model, args.weights_root, args.random_init,
+        lora=args.lora, lora_scale=args.lora_scale, seed=args.seed,
+    )
     images = pipe.generate(
         args.prompt,
         num_inference_steps=args.steps,

@@ -1,0 +1,58 @@
+"""HTTP inference server for 4-NFE flash models (production serving entry).
+
+Wraps examples/sample.py's pipeline in the framework's serving layer
+(``flash_diffusion_tpu.serving``): dynamic request batching onto fixed
+compile shapes + a stdlib HTTP front end. The reference has no serving
+code (its README defers to HF pipelines, reference README.md:316-353).
+
+    python examples/serve.py --model sd15 --weights-root /weights/sd15 \
+        --lora flash_lora.safetensors --port 8500
+
+    curl -s localhost:8500/healthz
+    curl -s -X POST localhost:8500/generate \
+        -d '{"prompt": "A raccoon reading a book", "steps": 4}' > out.png
+    curl -s localhost:8500/metrics
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from sample import build_pipeline
+
+from flash_diffusion_tpu.serving import InferenceServer, ServingConfig
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl"])
+    ap.add_argument("--weights-root", default="")
+    ap.add_argument("--lora", default=None)
+    ap.add_argument("--lora-scale", type=float, default=1.0)
+    ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8500)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--linger-ms", type=float, default=10.0)
+    args = ap.parse_args()
+
+    pipe = build_pipeline(
+        args.model, args.weights_root, args.random_init,
+        lora=args.lora, lora_scale=args.lora_scale,
+    )
+    config = ServingConfig(
+        host=args.host,
+        port=args.port,
+        max_batch=args.max_batch,
+        linger_ms=args.linger_ms,
+        batch_sizes=(1, min(4, args.max_batch), args.max_batch),
+    )
+    server = InferenceServer(pipe, config)
+    print(f"serving {args.model} on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

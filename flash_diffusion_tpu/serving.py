@@ -1,0 +1,304 @@
+"""Production serving layer: dynamic batching + HTTP inference server.
+
+The reference ships no serving code — its README points users at stock
+HF pipelines (reference: README.md:316-353). On TPU, serving well means
+keeping the chip fed with FIXED-shape batches (every new batch size is a
+new XLA compile) and coalescing concurrent requests into one dispatch
+(per-image cost at batch 8 is ~3x lower than at batch 1 on v5e). This
+module provides both:
+
+- ``DynamicBatcher``: a linger-window request coalescer. Requests with the
+  same (steps, guidance) key are merged up to ``max_batch``, prompts padded
+  to the fixed compile size, per-request seeds honored by stacking
+  per-request latents (so a request's image is bit-identical whether it
+  was batched or not), outputs sliced back per request.
+- ``InferenceServer``: a stdlib ThreadingHTTPServer front end —
+  ``POST /generate`` (PNG or base64 JSON), ``GET /healthz``,
+  ``GET /metrics`` (request/image counters + latency quantiles).
+
+Single-process by design: one model, one chip (or one ``jit``-sharded mesh
+— the pipeline's params may be sharded; the server is agnostic). Scale-out
+is N replicas behind any HTTP load balancer.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class ServingConfig:
+    host: str = "127.0.0.1"
+    port: int = 8500
+    max_batch: int = 8
+    # linger: how long the batcher waits for more requests to coalesce once
+    # it has at least one (milliseconds). 0 = dispatch immediately.
+    linger_ms: float = 10.0
+    default_steps: int = 4
+    default_guidance: float = 0.0
+    # fixed compile sizes: requests are padded up to the smallest of these
+    # ≥ the coalesced batch, so the server only ever compiles len(sizes)
+    # generate graphs per (steps, guidance) key.
+    batch_sizes: tuple = (1, 4, 8)
+
+
+@dataclass
+class _Request:
+    prompt: str
+    seed: int
+    steps: int
+    guidance: float
+    event: threading.Event = field(default_factory=threading.Event)
+    image: Optional[np.ndarray] = None
+    error: Optional[str] = None
+
+
+class DynamicBatcher:
+    """Coalesces generate requests into fixed-shape pipeline dispatches."""
+
+    def __init__(self, pipeline, config: ServingConfig):
+        self.pipeline = pipeline
+        self.config = config
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self.batches_dispatched = 0
+        self.images_generated = 0
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def submit(self, prompt: str, seed: int, steps: int, guidance: float) -> _Request:
+        req = _Request(prompt=prompt, seed=seed, steps=steps, guidance=guidance)
+        self._queue.put(req)
+        return req
+
+    # ---- worker ----
+    def _take_batch(self) -> List[_Request]:
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.config.linger_ms / 1000.0
+        while len(batch) < self.config.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            # only same-shape work batches together; requeue mismatches
+            if (nxt.steps, nxt.guidance) == (first.steps, first.guidance):
+                batch.append(nxt)
+            else:
+                self._queue.put(nxt)
+                break
+        return batch
+
+    def _compile_size(self, n: int) -> int:
+        for s in sorted(self.config.batch_sizes):
+            if s >= n:
+                return s
+        return max(self.config.batch_sizes)
+
+    def _worker(self):
+        import jax
+
+        while not self._stop.is_set():
+            batch = self._take_batch()
+            if not batch:
+                continue
+            try:
+                n = len(batch)
+                size = self._compile_size(n)
+                prompts = [r.prompt for r in batch] + [""] * (size - n)
+                # per-request latents: a request's noise depends only on its
+                # own seed, so results are identical batched or alone
+                lat = np.stack(
+                    [
+                        np.asarray(
+                            jax.random.normal(
+                                jax.random.PRNGKey(r.seed),
+                                self.pipeline.latent_shape,
+                            )
+                        )
+                        for r in batch
+                    ]
+                    + [np.zeros(self.pipeline.latent_shape, np.float32)] * (size - n)
+                )
+                images = self.pipeline.generate(
+                    prompts,
+                    num_inference_steps=batch[0].steps,
+                    guidance_scale=batch[0].guidance,
+                    latents=lat,
+                )
+                images = np.asarray(images)[:n]
+                for r, img in zip(batch, images):
+                    r.image = img
+                    r.event.set()
+                self.batches_dispatched += 1
+                self.images_generated += n
+            except Exception as e:  # surface errors to the callers, keep serving
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+                    r.event.set()
+
+
+def _to_png_bytes(image: np.ndarray) -> bytes:
+    from PIL import Image
+
+    arr = np.clip((np.asarray(image, np.float32) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class InferenceServer:
+    """HTTP front end over a FlashPipeline + DynamicBatcher."""
+
+    def __init__(self, pipeline, config: Optional[ServingConfig] = None):
+        self.config = config or ServingConfig()
+        self.batcher = DynamicBatcher(pipeline, self.config)
+        self._latencies: List[float] = []
+        self._lat_lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # ---- request handling (transport-independent, testable) ----
+    def handle_generate(self, body: Dict[str, Any], timeout: float = 600.0) -> Dict[str, Any]:
+        prompts = body.get("prompt", "")
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        steps = int(body.get("steps", self.config.default_steps))
+        guidance = float(body.get("guidance_scale", self.config.default_guidance))
+        seed = int(body.get("seed", 0))
+        t0 = time.monotonic()
+        self.requests += 1
+        reqs = [
+            self.batcher.submit(p, seed + i, steps, guidance)
+            for i, p in enumerate(prompts)
+        ]
+        for r in reqs:
+            if not r.event.wait(timeout):
+                self.errors += 1
+                return {"error": "timeout"}
+        errs = [r.error for r in reqs if r.error]
+        if errs:
+            self.errors += 1
+            return {"error": errs[0]}
+        dt = time.monotonic() - t0
+        with self._lat_lock:
+            self._latencies.append(dt)
+            del self._latencies[:-512]
+        return {"images": [r.image for r in reqs], "latency_s": dt}
+
+    def metrics(self) -> Dict[str, Any]:
+        with self._lat_lock:
+            lats = sorted(self._latencies)
+        q = lambda p: round(lats[min(len(lats) - 1, int(p * len(lats)))], 4) if lats else None
+        return {
+            "requests": self.requests,
+            "errors": self.errors,
+            "images_generated": self.batcher.images_generated,
+            "batches_dispatched": self.batcher.batches_dispatched,
+            "latency_p50_s": q(0.50),
+            "latency_p95_s": q(0.95),
+        }
+
+    def healthz(self) -> Dict[str, Any]:
+        import jax
+
+        return {
+            "ok": True,
+            "backend": jax.default_backend(),
+            "devices": len(jax.devices()),
+            "max_batch": self.config.max_batch,
+        }
+
+    # ---- transport ----
+    def serve_forever(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send_json(self, obj, code=200):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send_json(server.healthz())
+                elif self.path == "/metrics":
+                    self._send_json(server.metrics())
+                else:
+                    self._send_json({"error": "not found"}, 404)
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self._send_json({"error": "not found"}, 404)
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except Exception as e:
+                    self._send_json({"error": f"bad request: {e}"}, 400)
+                    return
+                result = server.handle_generate(body)
+                if "error" in result:
+                    self._send_json(result, 500)
+                    return
+                fmt = body.get("format", "png")
+                pngs = [_to_png_bytes(img) for img in result["images"]]
+                if fmt == "json":
+                    import base64
+
+                    self._send_json(
+                        {
+                            "images_png_b64": [
+                                base64.b64encode(p).decode() for p in pngs
+                            ],
+                            "latency_s": result["latency_s"],
+                        }
+                    )
+                else:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(pngs[0])))
+                    self.end_headers()
+                    self.wfile.write(pngs[0])
+
+        self.batcher.start()
+        self._httpd = ThreadingHTTPServer(
+            (self.config.host, self.config.port), Handler
+        )
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self.batcher.stop()
+
+    def shutdown(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()

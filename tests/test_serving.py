@@ -1,0 +1,155 @@
+"""Serving layer: dynamic batcher semantics + HTTP front end (hermetic).
+
+The reference has no serving code (README defers to HF pipelines,
+reference README.md:316-353); this covers the framework's ⊕ serving
+component: request coalescing onto fixed compile shapes, per-request
+seed determinism under batching, and the HTTP endpoints.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_diffusion_tpu.serving import DynamicBatcher, InferenceServer, ServingConfig
+
+
+def _tiny_pipeline():
+    from flash_diffusion_tpu import FlashPipeline
+    from flash_diffusion_tpu.models import UNet2DCondition, UNetConfig
+    from flash_diffusion_tpu.models.embedders import (
+        ClipEmbedder,
+        ClipEmbedderConfig,
+        ConditionerWrapper,
+    )
+
+    HW, C = 8, 4
+    unet = UNet2DCondition(
+        UNetConfig(
+            in_channels=C, out_channels=C, block_out_channels=[8, 16],
+            down_block_types=["CrossAttnDownBlock2D", "DownBlock2D"],
+            layers_per_block=1, transformer_layers_per_block=[1, 1],
+            num_heads=[2, 2], cross_attention_dim=8, norm_num_groups=4,
+        )
+    )
+    emb = ClipEmbedder(
+        ClipEmbedderConfig(
+            input_key="text",
+            text_embedder_config=dict(
+                vocab_size=32, hidden_size=8, intermediate_size=16, num_layers=1,
+                num_heads=2, max_positions=6, eos_token_id=31,
+            ),
+        )
+    )
+    cond = ConditionerWrapper([emb])
+    params = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, C)), jnp.zeros((1,), jnp.int32),
+        {"cond": {"crossattn": jnp.zeros((1, 6, 8))}},
+    )
+    cond_params = cond.init(
+        jax.random.PRNGKey(1), {"text_ids": jnp.zeros((1, 6), jnp.int32)}
+    )
+
+    def tokenizer_fn(texts):
+        # deterministic per-text ids, any batch size (incl. "" padding)
+        ids = np.zeros((len(texts), 6), np.int32)
+        for i, t in enumerate(texts):
+            ids[i, : min(5, len(t))] = [1 + (ord(ch) % 30) for ch in t[:5]]
+            ids[i, min(5, len(t))] = 31
+        return {"text_ids": ids}
+
+    return FlashPipeline(
+        unet, params, conditioner=cond, conditioner_params=cond_params,
+        tokenizer_fn=tokenizer_fn, latent_shape=(HW, HW, C),
+    )
+
+
+def test_dynamic_batcher_coalesces_and_is_seed_deterministic():
+    pipe = _tiny_pipeline()
+    cfg = ServingConfig(max_batch=4, linger_ms=100.0, batch_sizes=(1, 2, 4))
+    batcher = DynamicBatcher(pipe, cfg).start()
+    try:
+        # lone request first (compiles size-1 graph) — reference result
+        lone = batcher.submit("cat", seed=7, steps=2, guidance=0.0)
+        assert lone.event.wait(300)
+        assert lone.error is None
+
+        # now three concurrent requests; linger should coalesce them
+        reqs = [
+            batcher.submit(p, seed=s, steps=2, guidance=0.0)
+            for p, s in [("cat", 7), ("dog", 8), ("owl", 9)]
+        ]
+        for r in reqs:
+            assert r.event.wait(300)
+            assert r.error is None, r.error
+            assert np.all(np.isfinite(r.image))
+        assert batcher.images_generated == 4
+        # seed 7 "cat" must be identical batched or alone (per-request latents)
+        assert np.allclose(np.asarray(reqs[0].image), np.asarray(lone.image), atol=1e-5)
+        # different seeds differ
+        assert not np.allclose(np.asarray(reqs[0].image), np.asarray(reqs[1].image))
+    finally:
+        batcher.stop()
+
+
+def test_inference_server_handle_and_metrics():
+    pipe = _tiny_pipeline()
+    cfg = ServingConfig(max_batch=2, linger_ms=5.0, batch_sizes=(1, 2))
+    server = InferenceServer(pipe, cfg)
+    server.batcher.start()
+    try:
+        out = server.handle_generate({"prompt": "fox", "steps": 2, "seed": 3})
+        assert "error" not in out
+        assert len(out["images"]) == 1 and np.all(np.isfinite(out["images"][0]))
+        m = server.metrics()
+        assert m["requests"] == 1 and m["images_generated"] == 1
+        assert m["latency_p50_s"] is not None
+        h = server.healthz()
+        assert h["ok"] and h["devices"] >= 1
+    finally:
+        server.batcher.stop()
+
+
+def test_inference_server_http_roundtrip():
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    pipe = _tiny_pipeline()
+    cfg = ServingConfig(port=port, max_batch=2, linger_ms=5.0, batch_sizes=(1, 2))
+    server = InferenceServer(pipe, cfg)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5
+                ) as r:
+                    assert json.loads(r.read())["ok"]
+                break
+            except OSError:
+                time.sleep(0.2)
+        else:
+            raise AssertionError("server never came up")
+
+        body = json.dumps({"prompt": "owl", "steps": 2, "format": "png"}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            png = r.read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=5) as r:
+            m = json.loads(r.read())
+        assert m["images_generated"] >= 1
+    finally:
+        server.shutdown()
