@@ -330,6 +330,11 @@ def _packed_eligible(q4) -> bool:
     if os.environ.get("FLASH_TPU_ATTN_PACKED", "0") != "1":
         return False
     _, _, h, d = q4.shape
+    if os.environ.get("FLASH_TPU_ATTN_PACKED_ANY_D", "0") == "1":
+        # lane-tile-unaligned head dims (Pixart 72, SD1.5 40/80/160): the
+        # static slices are legal Mosaic but their relayout cost is unproven
+        # — separate experimental gate until measured on-chip
+        return h >= 2 and d % 8 == 0
     return h >= 2 and d in (64, 128)
 
 

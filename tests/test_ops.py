@@ -54,6 +54,17 @@ def test_flash_attention_packed_layout_matches_xla(monkeypatch):
     assert np.allclose(np.array(out), np.array(ref), atol=2e-2)
 
 
+def test_flash_attention_packed_any_head_dim(monkeypatch):
+    """ANY_D gate: lane-unaligned head dims (Pixart 72, SD1.5 40)."""
+    monkeypatch.setenv("FLASH_TPU_ATTN_PACKED", "1")
+    monkeypatch.setenv("FLASH_TPU_ATTN_PACKED_ANY_D", "1")
+    for d, skv in ((72, 1280), (40, 77)):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(6), b=1, sq=256, skv=skv, h=4, d=d)
+        ref = _xla_attention(q, k, v, None, d**-0.5)
+        out = dot_product_attention(q, k, v, use_pallas=True)
+        assert np.allclose(np.array(out), np.array(ref), atol=2e-2), d
+
+
 def test_flash_attention_packed_grad_path_unchanged(monkeypatch):
     """Differentiation under the packed gate still uses the BHSD flash
     backward (the packed kernel is primal-only) and matches XLA grads."""
