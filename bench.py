@@ -396,6 +396,11 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--no-decode", action="store_true")
     ap.add_argument(
+        "--int8",
+        action="store_true",
+        help="W8A8 int8-quantize the denoiser Dense weights (opt-in serving mode)",
+    )
+    ap.add_argument(
         "--no-probe",
         action="store_true",
         help="skip the matmul roofline probe + MFU accounting",
@@ -446,6 +451,11 @@ def main():
                 up, vp, loaded_weights = _import_real_weights(
                     args.model, net, vae, args.weights_root, up, vp
                 )
+            n_quant = 0
+            if args.int8:
+                from flash_diffusion_tpu.quant import quantize_dense
+
+                up, n_quant = quantize_dense(up)
 
             @jax.jit
             def sample(up, vp, z, key):
@@ -498,6 +508,7 @@ def main():
                 "step_time_s": round(dt, 4),
                 "real_weights": loaded_weights,
                 "backend": jax.default_backend(),
+                **({"int8_kernels": n_quant} if args.int8 else {}),
             }
             if not args.no_probe:
                 flops = _compiled_flops(

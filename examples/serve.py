@@ -36,12 +36,18 @@ def main():
     ap.add_argument("--port", type=int, default=8500)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--linger-ms", type=float, default=10.0)
+    ap.add_argument(
+        "--int8", action="store_true",
+        help="W8A8 int8 serving mode (MXU int8 = 2x bf16 rate; see quant.py)",
+    )
     args = ap.parse_args()
 
     pipe = build_pipeline(
         args.model, args.weights_root, args.random_init,
         lora=args.lora, lora_scale=args.lora_scale,
     )
+    if args.int8:
+        pipe.quantize("int8")
     config = ServingConfig(
         host=args.host,
         port=args.port,

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..ops import dot_product_attention, group_norm, layer_norm
 from ..ops.gemm import down_proj_gemm
+from ..quant import int8_matmul
 
 
 def timestep_embedding(
@@ -84,6 +85,21 @@ class LoraDense(nn.Module):
         ab = None
         if not self.is_initializing() and self.has_variable("lora", "kernel"):
             ab = self.get_variable("lora", "kernel")
+        if kernel.dtype == jnp.int8:
+            # opt-in W8A8 inference path: the params tree was transformed by
+            # quant.quantize_dense (per-output-channel weight scale stored
+            # as a sibling leaf); activations quantize per token at apply
+            # time and the contraction runs int8·int8→int32 on the MXU
+            w_scale = self.get_variable("params", "kernel_scale")
+            x = x.astype(self.dtype)
+            y = int8_matmul(x, kernel, w_scale)
+            if ab is not None:
+                a = ab["a"].astype(y.dtype)
+                b = ab["b"].astype(y.dtype)
+                y = y + (x @ a) @ b
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
         if self.down_proj:
             y = down_proj_gemm(x, kernel, bias)

@@ -62,6 +62,8 @@ class FlashPipeline:
         self.latent_shape = tuple(latent_shape)
         self._adapters: Dict[str, Tuple[Any, float]] = {}
         self._generate_jit = {}
+        self._quant_mode: Optional[str] = None
+        self._quant_min_dim = 256
 
     # -- LoRA management (README.md:318-405 parity) ---------------------
     def load_lora(self, lora_tree, scaling: float = 1.0, name: str = "default"):
@@ -82,8 +84,23 @@ class FlashPipeline:
         params = self.base_params
         for tree, scale in self._adapters.values():
             params = merge_lora(params, tree, scale)
+        if self._quant_mode == "int8":
+            from .quant import quantize_dense
+
+            params, n = quantize_dense(params, min_dim=self._quant_min_dim)
+            if n == 0:
+                raise ValueError("int8 quantization matched no Dense kernels")
         self.params = params
         self._generate_jit.clear()
+
+    def quantize(self, mode: str = "int8", min_dim: int = 256):
+        """Opt-in W8A8 int8 serving mode (see quant.py). LoRA adapters merge
+        at full precision first; re-quantizes on every adapter change."""
+        if mode not in ("int8", "none"):
+            raise ValueError(mode)
+        self._quant_mode = None if mode == "none" else mode
+        self._quant_min_dim = min_dim
+        self._refresh()
 
     # -- generation -----------------------------------------------------
     def _build_generate(self, num_steps: int, guidance_scale: float, batch: int):
