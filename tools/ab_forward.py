@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--model", default="sdxl", choices=["sdxl", "sd15", "pixart", "sd3"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--decode", action="store_true", help="bench the VAE decode instead")
+    ap.add_argument("--int8", action="store_true", help="W8A8-quantize denoiser Dense weights")
     ap.add_argument("--iters", type=int, default=6)
     args = ap.parse_args()
 
@@ -37,6 +38,11 @@ def main():
     from bench import build
 
     net, up, vae, vp, latents, cond, res = build(args.model, args.batch)
+    if args.int8:
+        from flash_diffusion_tpu.quant import quantize_dense
+
+        up, n = quantize_dense(up)
+        print(f"int8-quantized {n} Dense kernels", file=sys.stderr)
 
     if args.decode:
         @jax.jit
