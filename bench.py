@@ -401,6 +401,11 @@ def main():
         help="W8A8 int8-quantize the denoiser Dense weights (opt-in serving mode)",
     )
     ap.add_argument(
+        "--int8-convs",
+        action="store_true",
+        help="with --int8: also quantize resnet conv kernels",
+    )
+    ap.add_argument(
         "--no-probe",
         action="store_true",
         help="skip the matmul roofline probe + MFU accounting",
@@ -455,7 +460,7 @@ def main():
             if args.int8:
                 from flash_diffusion_tpu.quant import quantize_dense
 
-                up, n_quant = quantize_dense(up)
+                up, n_quant = quantize_dense(up, convs=args.int8_convs)
 
             @jax.jit
             def sample(up, vp, z, key):

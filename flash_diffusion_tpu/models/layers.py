@@ -10,7 +10,7 @@ the Pallas kernel in ops.attention; normalization statistics are fp32.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..ops import dot_product_attention, group_norm, layer_norm
 from ..ops.gemm import down_proj_gemm
-from ..quant import int8_matmul
+from ..quant import int8_conv, int8_matmul
 
 
 def timestep_embedding(
@@ -159,6 +159,56 @@ class LayerNorm(nn.Module):
         return layer_norm(x, scale, bias, eps=self.eps)
 
 
+class QConv(nn.Module):
+    """``nn.Conv``-compatible NHWC conv (identical param layout/init) with an
+    int8 W8A8 branch when the stored kernel arrives quantized (quant.py).
+
+    Only the call-shapes the model bodies use: square kernels, symmetric
+    int or SAME padding, optional strides."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 0  # int (symmetric) or "SAME"
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, x.shape[-1], self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        pad = (
+            self.padding
+            if isinstance(self.padding, str)
+            else ((self.padding, self.padding), (self.padding, self.padding))
+        )
+        if kernel.dtype == jnp.int8:
+            w_scale = self.get_variable("params", "kernel_scale")
+            y = int8_conv(
+                x.astype(self.dtype), kernel, w_scale, self.strides, pad
+            )
+        else:
+            x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=tuple(self.strides),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ResnetBlock2D(nn.Module):
     """GN→SiLU→conv3x3 →(+time)→ GN→SiLU→conv3x3 (+skip 1x1 when widening)."""
 
@@ -171,16 +221,16 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None):
         h = GroupNorm(self.groups, eps=self.eps, act="silu", name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             temb = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + temb[:, None, None, :]
         h = GroupNorm(self.groups, eps=self.eps, act="silu", name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            x = QConv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 
@@ -190,7 +240,7 @@ class Downsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
+        return QConv(
             self.out_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv"
         )(x)
 
@@ -230,6 +280,12 @@ class _FoldedUpConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        if kernel.dtype == jnp.int8:
+            # int8 trees (quant.py): the tap fold needs float weights, so
+            # this op dequantizes on the fly — exactness over int8 speed
+            kernel = kernel.astype(jnp.float32) * self.get_variable(
+                "params", "kernel_scale"
+            )
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
         # per-parity tap folding: row taps of the high-res conv collapse onto
         # low-res rows {i-1, i} (parity 0: W0 | W1+W2) or {i, i+1}

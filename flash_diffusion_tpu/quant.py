@@ -34,10 +34,26 @@ SCALE_KEY = "kernel_scale"
 
 _FLOAT_DTYPES = (jnp.float32, jnp.bfloat16, jnp.float16)
 
+# Module scopes whose "kernel" the int8 branch can actually consume.
+# 2-D: LoraDense call sites (models/layers.py Attention + GEGLU, mmdit/dit
+# FFNs). 4-D: QConv call sites (ResnetBlock / Downsample2D; Upsample2D's
+# folded conv dequantizes on the fly). Plain nn.Dense modules (e.g. MMDiT's
+# context_embedder) have NO int8 branch — flax would silently upcast a
+# quantized kernel WITHOUT its scale — so the transform is allowlist-based:
+# unknown scopes are left untouched (fail-safe).
+DENSE_INCLUDE = (
+    r"/(to_q|to_k|to_v|to_out|to_add_out|proj_in|proj_out"
+    r"|ff_in|ff_out|ff_context_in|ff_context_out)$"
+)
+CONV_INCLUDE = r"/(conv1|conv2|conv_shortcut|conv|conv_in|conv_out)$"
+
 
 def quantize_weight(w: jnp.ndarray):
-    """[K, N] float → (int8 [K, N], f32 [N]) with w ≈ q · scale (per column)."""
-    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    """Float kernel → (int8, f32 per-output-channel scale), w ≈ q · scale.
+
+    2-D [K, N] reduces over K; 4-D HWIO reduces over (H, W, I)."""
+    axes = tuple(range(w.ndim - 1))
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axes)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
     return q, scale
@@ -64,35 +80,47 @@ def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.nd
 def quantize_dense(
     params,
     min_dim: int = 256,
-    include: Optional[str] = None,
+    include: Optional[str] = DENSE_INCLUDE,
     exclude: Optional[str] = None,
+    convs: bool = False,
+    conv_min_dim: int = 128,
+    conv_include: Optional[str] = CONV_INCLUDE,
 ):
-    """Quantize eligible Dense kernels of a params tree to int8 in place(-like).
+    """Quantize eligible kernels of a params tree to int8 (returns new tree).
 
-    A kernel is eligible when it is a 2-D float leaf named ``kernel`` with
-    both dims ≥ ``min_dim`` (skips tiny embeds/heads where quantization
-    buys nothing and costs accuracy), and its '/'-joined module path
-    matches ``include`` (default: any) and not ``exclude``. The quantized
-    node gains a ``kernel_scale`` sibling; everything else passes through
-    untouched. Returns (new_tree, num_quantized).
+    A 2-D ``kernel`` leaf is eligible when both dims ≥ ``min_dim`` (skips
+    tiny embeds/heads where quantization buys nothing and costs accuracy)
+    and its module path matches ``include`` — which defaults to the
+    LoraDense scope allowlist, because only int8-aware modules may receive
+    int8 kernels. With ``convs=True``, 4-D HWIO kernels on QConv scopes
+    (``conv_include``, min channel dim ``conv_min_dim``) quantize too.
+    Quantized nodes gain a ``kernel_scale`` sibling; everything else passes
+    through untouched. Returns (new_tree, num_quantized).
     """
     inc = re.compile(include) if include else None
     exc = re.compile(exclude) if exclude else None
+    cinc = re.compile(conv_include) if conv_include else None
     count = [0]
+
+    def eligible(k, path):
+        if not hasattr(k, "ndim") or k.dtype not in _FLOAT_DTYPES:
+            return False
+        if exc is not None and exc.search(path):
+            return False
+        if k.ndim == 2:
+            return min(k.shape) >= min_dim and (inc is None or bool(inc.search(path)))
+        if k.ndim == 4 and convs:
+            return min(k.shape[2], k.shape[3]) >= conv_min_dim and (
+                cinc is None or bool(cinc.search(path))
+            )
+        return False
 
     def walk(node, path):
         if not isinstance(node, dict):
             return node
         new = {k: walk(v, f"{path}/{k}") for k, v in node.items()}
         k = new.get("kernel")
-        if (
-            hasattr(k, "ndim")
-            and k.ndim == 2
-            and k.dtype in _FLOAT_DTYPES
-            and min(k.shape) >= min_dim
-            and (inc is None or inc.search(path))
-            and (exc is None or not exc.search(path))
-        ):
+        if k is not None and eligible(k, path):
             q, scale = quantize_weight(k)
             new["kernel"] = q
             new[SCALE_KEY] = scale
@@ -103,3 +131,26 @@ def quantize_dense(
         params = params.unfreeze()
     out = walk(params, "")
     return out, count[0]
+
+
+def int8_conv(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    strides=(1, 1),
+    padding="SAME",
+) -> jnp.ndarray:
+    """W8A8 NHWC conv: per-sample activation scale, int32 accumulate."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+    s_x = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=tuple(strides),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * s_x * w_scale).astype(x.dtype)

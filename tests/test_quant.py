@@ -40,7 +40,7 @@ def test_quantize_dense_transform_and_apply():
     params = net.init(jax.random.PRNGKey(2), x)
     ref = net.apply(params, x)
 
-    qparams, n = quantize_dense(params, min_dim=32)
+    qparams, n = quantize_dense(params, min_dim=32, include=None)
     # only "big" (48x64) passes min_dim=32; "head" (64x4) does not
     assert n == 1
     assert qparams["params"]["big"]["kernel"].dtype == jnp.int8
@@ -52,7 +52,7 @@ def test_quantize_dense_transform_and_apply():
     assert rel < 0.05, rel
 
     # include/exclude filters
-    _, n_exc = quantize_dense(params, min_dim=32, exclude="big")
+    _, n_exc = quantize_dense(params, min_dim=32, include=None, exclude="big")
     assert n_exc == 0
 
 
@@ -63,7 +63,7 @@ def test_quantize_dense_lora_side_path_preserved():
     dense = LoraDense(64)
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 48))
     params = dense.init(jax.random.PRNGKey(4), x)
-    qparams, n = quantize_dense(params, min_dim=32)
+    qparams, n = quantize_dense(params, min_dim=32, include=None)
     assert n == 1
     base = dense.apply(qparams, x)
 
@@ -103,3 +103,49 @@ def test_pipeline_int8_no_match_raises():
     pipe = _tiny_pipeline()
     with pytest.raises(ValueError):
         pipe.quantize("int8", min_dim=4096)
+
+
+def test_quantize_dense_allowlist_protects_plain_dense():
+    """Default include-set must skip scopes without an int8 branch (e.g.
+    MMDiT's context_embedder is a plain nn.Dense — an int8 kernel there
+    would be silently upcast WITHOUT its scale)."""
+    w = jnp.ones((512, 512), jnp.float32)
+    tree = {
+        "params": {
+            "context_embedder": {"kernel": w},
+            "blocks_0": {"attn": {"to_q": {"kernel": w}}},
+        }
+    }
+    q, n = quantize_dense(tree)
+    assert n == 1
+    assert q["params"]["context_embedder"]["kernel"].dtype == jnp.float32
+    assert q["params"]["blocks_0"]["attn"]["to_q"]["kernel"].dtype == jnp.int8
+
+
+def test_int8_conv_and_resnet_block():
+    """QConv int8 branch == float conv within W8A8 error; ResnetBlock2D
+    end-to-end with quantized convs stays close."""
+    from flash_diffusion_tpu.models.layers import ResnetBlock2D
+    from flash_diffusion_tpu.quant import int8_conv
+
+    # op-level bound
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    x = jax.random.normal(k1, (2, 16, 16, 64), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, 64, 96), jnp.float32) * 0.05
+    wq, scale = quantize_weight(w)
+    y = int8_conv(x, wq, scale, (1, 1), ((1, 1), (1, 1)))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    rel = np.linalg.norm(np.array(y - ref)) / np.linalg.norm(np.array(ref))
+    assert rel < 0.03, rel
+
+    block = ResnetBlock2D(out_channels=32, groups=4)
+    bx = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 8, 16), jnp.float32)
+    params = block.init(jax.random.PRNGKey(9), bx)
+    ref_out = block.apply(params, bx)
+    qparams, n = quantize_dense(params, convs=True, conv_min_dim=8)
+    assert n >= 2  # conv1, conv2 (+ shortcut)
+    out = block.apply(qparams, bx)
+    rel = np.linalg.norm(np.array(out - ref_out)) / np.linalg.norm(np.array(ref_out))
+    assert rel < 0.1, rel

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--decode", action="store_true", help="bench the VAE decode instead")
     ap.add_argument("--int8", action="store_true", help="W8A8-quantize denoiser Dense weights")
+    ap.add_argument("--int8-convs", action="store_true", help="also W8A8-quantize resnet convs")
+    ap.add_argument("--int8-vae", action="store_true", help="W8A8-quantize VAE convs (with --decode)")
     ap.add_argument("--iters", type=int, default=6)
     args = ap.parse_args()
 
@@ -38,11 +40,16 @@ def main():
     from bench import build
 
     net, up, vae, vp, latents, cond, res = build(args.model, args.batch)
-    if args.int8:
+    if args.int8 or args.int8_convs:
         from flash_diffusion_tpu.quant import quantize_dense
 
-        up, n = quantize_dense(up)
-        print(f"int8-quantized {n} Dense kernels", file=sys.stderr)
+        up, n = quantize_dense(up, convs=args.int8_convs)
+        print(f"int8-quantized {n} kernels (convs={args.int8_convs})", file=sys.stderr)
+    if args.int8_vae:
+        from flash_diffusion_tpu.quant import quantize_dense
+
+        vp, n = quantize_dense(vp, convs=True)
+        print(f"int8-quantized {n} VAE kernels", file=sys.stderr)
 
     if args.decode:
         @jax.jit
