@@ -40,7 +40,18 @@ def main():
         "--int8", action="store_true",
         help="W8A8 int8 serving mode (MXU int8 = 2x bf16 rate; see quant.py)",
     )
+    ap.add_argument(
+        "--compile-cache", default=None, metavar="DIR",
+        help="persistent XLA compilation cache: restarts skip the ~minutes "
+        "SDXL-size compiles (jax persistent cache keyed on HLO+flags)",
+    )
     args = ap.parse_args()
+
+    if args.compile_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     pipe = build_pipeline(
         args.model, args.weights_root, args.random_init,
