@@ -45,6 +45,9 @@ DENSE_INCLUDE = (
     r"/(to_q|to_k|to_v|to_out|to_add_out|proj_in|proj_out"
     r"|ff_in|ff_out|ff_context_in|ff_context_out)$"
 )
+# NOTE: scope names are only meaningful for the denoiser/VAE bodies —
+# transforming OTHER trees (e.g. the DPT depth model, whose plain nn.Conv
+# modules are also named conv1/conv2) with convs=True would corrupt them.
 CONV_INCLUDE = r"/(conv1|conv2|conv_shortcut|conv|conv_in|conv_out)$"
 
 
