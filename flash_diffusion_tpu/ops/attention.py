@@ -456,6 +456,17 @@ def _flash_fwd_oneshot_bhsd(q, k, v, scale: float, block_q: int = 512):
     return out[:, :sq, :], lse[:, :, :sq]
 
 
+# Streaming-forward VMEM model: q + out blocks, k + v blocks, ONE live fp32
+# [bq, bkv] score tile (Mosaic reuses the exp output buffer — the measured-
+# good (512, 4096) D=64 config estimates to 10.2 MiB; a two-tile model would
+# put it past the 16 MiB limit it demonstrably fits), plus fp32 scratch.
+_STREAM_FWD_VMEM_BUDGET = 13 * 2**20
+
+
+def _stream_fwd_vmem(bq: int, bkv: int, d: int, itemsize: int) -> int:
+    return (2 * bq * d + 2 * bkv * d) * itemsize + bq * bkv * 4 + (2 * bq * 128 + bq * d) * 4
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
 def _flash_fwd_bhsd(
     q: jnp.ndarray,
@@ -477,6 +488,19 @@ def _flash_fwd_bhsd(
         return _flash_fwd_oneshot_bhsd(q, k, v, scale, block_q=block_q)
     block_q = min(block_q, _round_up(sq, 128))
     block_kv = min(block_kv, _round_up(kv_len, 128))
+    # VMEM guard: the tuned (512, 4096) default was validated at D=64; for
+    # wider heads (or caller-supplied blocks) shrink KV then Q blocks until
+    # the estimated footprint fits, instead of failing Mosaic allocation.
+    while (
+        _stream_fwd_vmem(block_q, block_kv, d, q.dtype.itemsize) > _STREAM_FWD_VMEM_BUDGET
+        and block_kv > 512
+    ):
+        block_kv //= 2
+    while (
+        _stream_fwd_vmem(block_q, block_kv, d, q.dtype.itemsize) > _STREAM_FWD_VMEM_BUDGET
+        and block_q > 128
+    ):
+        block_q //= 2
 
     sq_p = _round_up(sq, block_q)
     skv_p = _round_up(kv_len, block_kv)
@@ -742,20 +766,33 @@ def _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale: float):
     return dq[:, :sq], dk[:, :kv_len], dv[:, :kv_len]
 
 
-# KV within this bound AND the three [skv_p, sq_p] fp32 intermediates within
-# the scoped-VMEM budget use the one-shot backward. Covers S=1024 self-attn
-# (1024×1024: 12 MB) and ALL KV=77 cross-attention incl. S=4096 (128×4096:
-# 6 MB) — in both, the streaming pair degenerates to single-inner-step grids.
+# KV within this bound AND the kernel's whole VMEM footprint within budget
+# use the one-shot backward. Covers S=1024 self-attn (1024×1024) and ALL
+# KV=77 cross-attention incl. S=4096 (128×4096) — in both, the streaming
+# pair degenerates to single-inner-step grids.
 _ONESHOT_BWD_MAX = int(os.environ.get("FLASH_TPU_ONESHOT_BWD_MAX", "1024"))
-_ONESHOT_BWD_VMEM_BUDGET = 12.5 * 2**20
+# 14 MiB of the 16 MiB scoped-VMEM limit: the measured-good S=1024² D=64
+# case estimates to 13.5 MiB under this model, so a tighter budget would
+# lose it; long-Sq/short-KV shapes (e.g. Sq=8192 cross at KV=77) estimate
+# past this and correctly fall back to streaming.
+_ONESHOT_BWD_VMEM_BUDGET = 14 * 2**20
 
 
-def _use_oneshot_bwd(sq: int, kv_len: int) -> bool:
+def _oneshot_bwd_vmem(sq_p: int, skv_p: int, d: int, itemsize: int) -> int:
+    """Whole-kernel VMEM estimate: q/do/dq + k/v/dk/dv blocks, lse/delta
+    rows, and the three live [skv_p, sq_p] fp32 intermediates."""
+    lin = (3 * sq_p * d + 4 * skv_p * d) * itemsize
+    rows = 2 * 4 * sq_p
+    inter = 3 * 4 * sq_p * skv_p
+    return lin + rows + inter
+
+
+def _use_oneshot_bwd(sq: int, kv_len: int, d: int, itemsize: int) -> bool:
     sq_p = _round_up(sq, 128)
     skv_p = _round_up(kv_len, 128)
     return (
         skv_p <= _ONESHOT_BWD_MAX
-        and 3 * 4 * sq_p * skv_p <= _ONESHOT_BWD_VMEM_BUDGET
+        and _oneshot_bwd_vmem(sq_p, skv_p, d, itemsize) <= _ONESHOT_BWD_VMEM_BUDGET
     )
 
 
@@ -778,7 +815,7 @@ def _flash_bwd_bhsd(
 ):
     bh, sq, d = q.shape
     kv_len = k.shape[1]
-    if _use_oneshot_bwd(sq, kv_len):
+    if _use_oneshot_bwd(sq, kv_len, d, q.dtype.itemsize):
         return _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale)
     block_q = min(block_q, _round_up(sq, 128))
     block_kv = min(block_kv, _round_up(kv_len, 128))

@@ -20,6 +20,7 @@ import numpy as np
 
 from .lora import merge_lora
 from .schedulers import REGISTRY, SchedulerConfig
+from .schedulers.base import split_step_key
 
 
 class FlashPipeline:
@@ -137,7 +138,7 @@ class FlashPipeline:
                     pred = self.denoiser.apply(
                         params, inp, jnp.broadcast_to(t, (batch,)), cond2
                     )
-                key, sub = jax.random.split(key)
+                key, sub = split_step_key(key)
                 if has_carry:
                     s, aux = self.sched_mod.step(sched, pred, i, s, aux)
                 else:
@@ -162,11 +163,18 @@ class FlashPipeline:
         num_inference_steps: int = 4,
         guidance_scale: float = 0.0,
         negative_prompts: Optional[Sequence[str]] = None,
-        seed: int = 0,
+        seed: int | Sequence[int] = 0,
         latents: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Images in [-1, 1] NHWC. The published 4-NFE setting is the
-        default: 4 steps, guidance 0 (no CFG doubling)."""
+        default: 4 steps, guidance 0 (no CFG doubling).
+
+        ``seed`` may be a sequence of per-sample seeds (len == batch): then
+        BOTH the initial latent and the whole per-step stochastic-scheduler
+        noise chain of sample ``j`` derive only from ``seed[j]`` — the image
+        is bit-identical at any batch size / slot (the serving batcher's
+        determinism contract). A scalar seed keeps the classic single-chain
+        behavior (one batch-shaped draw per step)."""
         if isinstance(prompts, dict):
             batch_inputs = prompts
             batch = next(
@@ -197,10 +205,21 @@ class FlashPipeline:
                         ucg_keys=[c.input_key for c in self.conditioner.conditioners],
                     )
 
-        rng = jax.random.PRNGKey(seed)
-        if latents is None:
-            rng, kz = jax.random.split(rng)
-            latents = jax.random.normal(kz, (batch, *self.latent_shape))
+        if isinstance(seed, (list, tuple, np.ndarray)):
+            if len(seed) != batch:
+                raise ValueError(f"got {len(seed)} seeds for batch {batch}")
+            base = jnp.stack([jax.random.PRNGKey(int(s)) for s in seed])
+            ks = jax.vmap(jax.random.split)(base)  # [B, 2, 2]
+            kz, rng = ks[:, 0], ks[:, 1]  # latent keys, per-sample step chains
+            if latents is None:
+                latents = jax.vmap(
+                    lambda k: jax.random.normal(k, self.latent_shape)
+                )(kz)
+        else:
+            rng = jax.random.PRNGKey(seed)
+            if latents is None:
+                rng, kz = jax.random.split(rng)
+                latents = jax.random.normal(kz, (batch, *self.latent_shape))
 
         key = (num_inference_steps, guidance_scale, batch)
         if key not in self._generate_jit:

@@ -111,6 +111,14 @@ def quantize_dense(
         if exc is not None and exc.search(path):
             return False
         if k.ndim == 2:
+            # Hard floor independent of the public min_dim knob: a sub-128
+            # dim can't fill an MXU int8 tile (128 lanes) so quantizing is
+            # pure accuracy loss — and it is what keeps the DiT/MMDiT
+            # patch-unembed heads (plain nn.Dense also named "proj_out",
+            # out dim p²·C ≤ 64, NO int8 branch) out of reach even at
+            # min_dim=32.
+            if min(k.shape) < 128:
+                return False
             return min(k.shape) >= min_dim and (inc is None or bool(inc.search(path)))
         if k.ndim == 4 and convs:
             return min(k.shape[2], k.shape[3]) >= conv_min_dim and (

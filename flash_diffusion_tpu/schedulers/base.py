@@ -180,3 +180,35 @@ def batch_broadcast(coeff: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
     coeff = jnp.asarray(coeff)
     extra = (1,) * (like.ndim - coeff.ndim)
     return coeff.reshape(coeff.shape + extra).astype(like.dtype)
+
+
+def _is_key_batch(key: jax.Array) -> bool:
+    """True when ``key`` is a batch of per-sample PRNG keys (typed [B] or
+    raw uint32 [B, 2]) rather than one key."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return key.ndim >= 1
+    return key.ndim >= 2
+
+
+def step_noise(key: jax.Array, sample: jnp.ndarray) -> jnp.ndarray:
+    """Per-step scheduler noise, slot-independent under key batching.
+
+    A single key draws one ``sample``-shaped normal (the classic single-chain
+    path). A batch of per-sample keys draws each sample's noise separately at
+    ``sample.shape[1:]`` — so a sample's noise sequence depends ONLY on its
+    own key, never on its batch slot or the (padded) batch size. The serving
+    batcher's bit-determinism contract (serving.py) relies on this.
+    """
+    if _is_key_batch(key):
+        return jax.vmap(
+            lambda k: jax.random.normal(k, sample.shape[1:], sample.dtype)
+        )(key)
+    return jax.random.normal(key, sample.shape, sample.dtype)
+
+
+def split_step_key(key: jax.Array):
+    """``jax.random.split`` that also accepts a per-sample key batch."""
+    if _is_key_batch(key):
+        ks = jax.vmap(jax.random.split)(key)
+        return ks[:, 0], ks[:, 1]
+    return jax.random.split(key)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import (
+    step_noise,
     Schedule,
     SchedulerConfig,
     batch_broadcast,
@@ -105,6 +106,6 @@ def step(
         x0 = jnp.clip(x0, -schedule.clip_range, schedule.clip_range)
     prev = b(schedule.x0_coeff) * x0 + b(schedule.sample_coeff) * sample
     if key is not None:
-        noise = jax.random.normal(key, sample.shape, sample.dtype)
+        noise = step_noise(key, sample)
         prev = prev + b(schedule.sigma_noise) * noise
     return prev

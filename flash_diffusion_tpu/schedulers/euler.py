@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import (
+    step_noise,
     Schedule,
     SchedulerConfig,
     batch_broadcast,
@@ -113,7 +114,7 @@ def step(
         prev = sample + derivative * (sigma_down - sigma)
         if key is not None:
             sigma_up = batch_broadcast(schedule.sigma_up[i], sample)
-            prev = prev + sigma_up * jax.random.normal(key, sample.shape, sample.dtype)
+            prev = prev + sigma_up * step_noise(key, sample)
         return prev
     sigma_next = batch_broadcast(schedule.sigmas[i + 1], sample)
     return sample + derivative * (sigma_next - sigma)

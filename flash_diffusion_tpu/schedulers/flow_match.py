@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import Schedule, SchedulerConfig, batch_broadcast
+from .base import Schedule, SchedulerConfig, batch_broadcast, step_noise
 
 
 def _shift_sigma(sigma: np.ndarray, shift: float) -> np.ndarray:
@@ -135,5 +135,5 @@ def flash_step(
     if key is None:
         noise = jnp.zeros_like(sample)
     else:
-        noise = jax.random.normal(key, sample.shape, sample.dtype)
+        noise = step_noise(key, sample)
     return (1.0 - sigma_next) * x0 + sigma_next * noise

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import (
+    step_noise,
     Schedule,
     SchedulerConfig,
     batch_broadcast,
@@ -124,7 +125,7 @@ def step(
     if key is None:
         noise = jnp.zeros_like(sample)
     else:
-        noise = jax.random.normal(key, sample.shape, sample.dtype)
+        noise = step_noise(key, sample)
     renoised = b(schedule.sqrt_acp_prev) * denoised + b(schedule.sqrt_1macp_prev) * noise
     final = b(schedule.is_final)
     return final * denoised + (1.0 - final) * renoised

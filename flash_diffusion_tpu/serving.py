@@ -9,9 +9,11 @@ module provides both:
 
 - ``DynamicBatcher``: a linger-window request coalescer. Requests with the
   same (steps, guidance) key are merged up to ``max_batch``, prompts padded
-  to the fixed compile size, per-request seeds honored by stacking
-  per-request latents (so a request's image is bit-identical whether it
-  was batched or not), outputs sliced back per request.
+  to the fixed compile size, per-request seeds passed through to the
+  pipeline's per-sample PRNG chains (initial latent AND every stochastic
+  scheduler step derive only from that request's seed, so a request's image
+  is bit-identical whether it was batched or not — see
+  ``schedulers.base.step_noise``), outputs sliced back per request.
 - ``InferenceServer``: a stdlib ThreadingHTTPServer front end —
   ``POST /generate`` (PNG or base64 JSON), ``GET /healthz``,
   ``GET /metrics`` (request/image counters + latency quantiles).
@@ -23,6 +25,7 @@ is N replicas behind any HTTP load balancer.
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import queue
@@ -69,6 +72,11 @@ class DynamicBatcher:
         self.pipeline = pipeline
         self.config = config
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # (steps, guidance)-mismatched requests pulled during lingering wait
+        # here and are FIRST in line for the next batch — requeueing them at
+        # the back of the FIFO would let a sustained stream of another key's
+        # traffic starve them indefinitely.
+        self._deferred: collections.deque = collections.deque()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self.batches_dispatched = 0
@@ -89,12 +97,22 @@ class DynamicBatcher:
 
     # ---- worker ----
     def _take_batch(self) -> List[_Request]:
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
-            return []
+        if self._deferred:
+            first = self._deferred.popleft()
+        else:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                return []
         batch = [first]
+        key = (first.steps, first.guidance)
         deadline = time.monotonic() + self.config.linger_ms / 1000.0
+        # drain same-key deferred requests first (they've waited longest)
+        while self._deferred and len(batch) < self.config.max_batch:
+            if (self._deferred[0].steps, self._deferred[0].guidance) == key:
+                batch.append(self._deferred.popleft())
+            else:
+                break
         while len(batch) < self.config.max_batch:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
@@ -103,11 +121,12 @@ class DynamicBatcher:
                 nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
-            # only same-shape work batches together; requeue mismatches
-            if (nxt.steps, nxt.guidance) == (first.steps, first.guidance):
+            # only same-shape work batches together; defer mismatches to the
+            # FRONT of the next cycle (no starvation)
+            if (nxt.steps, nxt.guidance) == key:
                 batch.append(nxt)
             else:
-                self._queue.put(nxt)
+                self._deferred.append(nxt)
                 break
         return batch
 
@@ -118,8 +137,6 @@ class DynamicBatcher:
         return max(self.config.batch_sizes)
 
     def _worker(self):
-        import jax
-
         while not self._stop.is_set():
             batch = self._take_batch()
             if not batch:
@@ -128,25 +145,16 @@ class DynamicBatcher:
                 n = len(batch)
                 size = self._compile_size(n)
                 prompts = [r.prompt for r in batch] + [""] * (size - n)
-                # per-request latents: a request's noise depends only on its
-                # own seed, so results are identical batched or alone
-                lat = np.stack(
-                    [
-                        np.asarray(
-                            jax.random.normal(
-                                jax.random.PRNGKey(r.seed),
-                                self.pipeline.latent_shape,
-                            )
-                        )
-                        for r in batch
-                    ]
-                    + [np.zeros(self.pipeline.latent_shape, np.float32)] * (size - n)
-                )
+                # per-request seeds: latent AND per-step scheduler noise of
+                # slot j derive only from seeds[j] (pipelines.generate
+                # per-sample key chains), so results are identical batched,
+                # padded, or alone
+                seeds = [r.seed for r in batch] + [0] * (size - n)
                 images = self.pipeline.generate(
                     prompts,
                     num_inference_steps=batch[0].steps,
                     guidance_scale=batch[0].guidance,
-                    latents=lat,
+                    seed=seeds,
                 )
                 images = np.asarray(images)[:n]
                 for r, img in zip(batch, images):
@@ -186,6 +194,8 @@ class InferenceServer:
         prompts = body.get("prompt", "")
         if isinstance(prompts, str):
             prompts = [prompts]
+        if not prompts:
+            return {"error": "empty prompt list", "code": 400}
         steps = int(body.get("steps", self.config.default_steps))
         guidance = float(body.get("guidance_scale", self.config.default_guidance))
         seed = int(body.get("seed", 0))
@@ -268,7 +278,7 @@ class InferenceServer:
                     return
                 result = server.handle_generate(body)
                 if "error" in result:
-                    self._send_json(result, 500)
+                    self._send_json(result, result.pop("code", 500))
                     return
                 fmt = body.get("format", "png")
                 pngs = [_to_png_bytes(img) for img in result["images"]]

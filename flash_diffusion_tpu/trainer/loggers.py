@@ -103,16 +103,19 @@ class SampleLogger:
                     {"text": wandb.Table(columns=["text"], data=[[t] for t in texts])},
                     step=step,
                 )
-        logs = pipeline.model.log_samples(
-            pipeline.frozen,
-            lora,
-            batch,
-            input_shape=self.input_shape,
-            num_steps=self.num_steps,
-            guidance_scale=self.guidance_scale,
-            log_teacher_samples=self.log_teacher_samples,
-            rng=jax.random.PRNGKey(step),
-        )
+        # sampling_frozen(): with text_encoder_offload on, pipeline.frozen
+        # has no "conditioners" — this context places the towers for the call
+        with pipeline.sampling_frozen() as frozen:
+            logs = pipeline.model.log_samples(
+                frozen,
+                lora,
+                batch,
+                input_shape=self.input_shape,
+                num_steps=self.num_steps,
+                guidance_scale=self.guidance_scale,
+                log_teacher_samples=self.log_teacher_samples,
+                rng=jax.random.PRNGKey(step),
+            )
         for name, images in logs.items():
             grid = make_grid(np.asarray(images))
             fname = os.path.join(self.out_dir, f"step{step:08d}", name.replace("/", "_") + ".png")
@@ -170,25 +173,26 @@ class QualityValidator:
             lora = state.ema
         real_s, fake_s = FIDStats(), FIDStats()
         scores = []
-        for i, batch in enumerate(self.batch_provider()):
-            if i >= self.num_batches:
-                break
-            n = np.asarray(batch["image"]).shape[0]
-            z = jax.random.normal(
-                jax.random.fold_in(jax.random.PRNGKey(step), i),
-                (n, *self.input_shape),
-            )
-            fake = pipeline.model.sample(
-                pipeline.frozen, lora, z, batch,
-                num_steps=self.num_steps, guidance_scale=self.guidance_scale,
-                rng=jax.random.PRNGKey(i),
-            )
-            real_emb = self.embed_fn(np.asarray(batch["image"]))
-            fake_emb = self.embed_fn(fake)
-            real_s.update(np.asarray(real_emb))
-            fake_s.update(np.asarray(fake_emb))
-            if self.text_embed_fn is not None:
-                scores.append(float(clip_score(fake_emb, self.text_embed_fn(batch))))
+        with pipeline.sampling_frozen() as frozen:
+            for i, batch in enumerate(self.batch_provider()):
+                if i >= self.num_batches:
+                    break
+                n = np.asarray(batch["image"]).shape[0]
+                z = jax.random.normal(
+                    jax.random.fold_in(jax.random.PRNGKey(step), i),
+                    (n, *self.input_shape),
+                )
+                fake = pipeline.model.sample(
+                    frozen, lora, z, batch,
+                    num_steps=self.num_steps, guidance_scale=self.guidance_scale,
+                    rng=jax.random.PRNGKey(i),
+                )
+                real_emb = self.embed_fn(np.asarray(batch["image"]))
+                fake_emb = self.embed_fn(fake)
+                real_s.update(np.asarray(real_emb))
+                fake_s.update(np.asarray(fake_emb))
+                if self.text_embed_fn is not None:
+                    scores.append(float(clip_score(fake_emb, self.text_embed_fn(batch))))
         mu_r, cov_r = real_s.finalize()
         mu_f, cov_f = fake_s.finalize()
         metrics = {"val/feature_fd": frechet_distance(mu_r, cov_r, mu_f, cov_f)}

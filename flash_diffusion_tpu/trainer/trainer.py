@@ -26,6 +26,7 @@ TPU-native re-design of the reference's LightningModule trainer
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import logging
 import os
@@ -297,6 +298,24 @@ class TrainingPipeline:
             return shard_params_fsdp(tree, self.mesh)
         return replicate(tree, self.mesh)
 
+    @contextlib.contextmanager
+    def sampling_frozen(self):
+        """Frozen tree with text towers present, for sample/eval paths.
+
+        With ``text_encoder_offload`` on, ``self.frozen`` has NO
+        "conditioners" entry (they live on host between encode bursts), so
+        callbacks that call ``model.sample``/``log_samples`` directly must
+        use this context instead of ``pipeline.frozen`` — it places the
+        towers for the duration of the block and frees them on exit."""
+        if self._text_offload and self._host_conditioners is not None:
+            dev = self._placed_conditioners()
+            try:
+                yield {**self.frozen, **dev}
+            finally:
+                del dev
+        else:
+            yield self.frozen
+
     def _cond_bursts(self, data, step0: int):
         """Yield batches with conditioning precomputed in encode bursts:
         towers on HBM only while a burst is encoding (see __init__)."""
@@ -321,6 +340,11 @@ class TrainingPipeline:
                 step += 1
             jax.block_until_ready([c for _, c in out])
             del dev, frozen_enc  # frees the towers' HBM
+            # The host batch is yielded (not the sharded `nb`), so fit()
+            # re-transfers the images once more — deliberate: retaining
+            # every nb for the burst would hold burst_size × image-batch
+            # HBM (this mode exists to SAVE HBM), while the extra PCIe
+            # copy is ~ms against multi-second distill steps.
             for b, conds in out:
                 b = dict(b)
                 b["__conds_pre"] = conds

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import flash_diffusion_tpu.ops.attention as A
 from flash_diffusion_tpu.ops import dot_product_attention
 from flash_diffusion_tpu.ops.attention import _xla_attention
 
@@ -72,3 +73,26 @@ def test_flash_bwd_multiblock_accumulation(monkeypatch):
     for a, b, name in [(dq, rq, "dq"), (dk, rk, "dk"), (dv, rv, "dv")]:
         err = np.abs(np.array(a) - np.array(b)).max()
         assert err < 2e-2, (name, err)
+
+
+def test_oneshot_bwd_gate_bounds_whole_footprint():
+    """The one-shot backward budget must count the Sq-linear VMEM terms
+    (q/do/dq blocks, lse/delta rows), not just the [skv,sq] intermediates —
+    long-Sq/short-KV shapes (aspect-bucket latents) must fall back to the
+    streaming pair instead of failing Mosaic VMEM allocation."""
+    # measured-good residents stay one-shot
+    assert A._use_oneshot_bwd(1024, 1024, 64, 2)   # S=1024 self-attn
+    assert A._use_oneshot_bwd(4096, 77, 64, 2)     # KV=77 cross at S=4096
+    # long-Sq cross: intermediates alone pass the old check, whole
+    # footprint (~15.8 MiB) does not
+    assert not A._use_oneshot_bwd(8192, 77, 64, 2)
+    assert not A._use_oneshot_bwd(8192, 77, 128, 2)
+
+
+def test_stream_fwd_vmem_guard_keeps_tuned_and_rejects_overflow():
+    """Streaming-forward block guard: the tuned (512,4096) default fits at
+    D=64 AND D=128; (1024,4096) (measured Mosaic overflow at D=64) does not."""
+    B = A._STREAM_FWD_VMEM_BUDGET
+    assert A._stream_fwd_vmem(512, 4096, 64, 2) <= B
+    assert A._stream_fwd_vmem(512, 4096, 128, 2) <= B
+    assert A._stream_fwd_vmem(1024, 4096, 64, 2) > B

@@ -149,3 +149,18 @@ def test_int8_conv_and_resnet_block():
     out = block.apply(qparams, bx)
     rel = np.linalg.norm(np.array(out - ref_out)) / np.linalg.norm(np.array(ref_out))
     assert rel < 0.1, rel
+
+
+def test_quantize_dense_never_touches_sub128_kernels():
+    """The 128 hard floor is independent of the public min_dim knob: the
+    DiT/MMDiT patch-unembed heads are plain nn.Dense ALSO named "proj_out"
+    (no int8 branch — an int8 kernel would be silently upcast without its
+    scale), and their out dim p²·C is ≤ 64 in every real config."""
+    params = {
+        "blocks_0": {"ff": {"proj_out": {"kernel": jnp.ones((512, 512))}}},
+        "proj_out": {"kernel": jnp.ones((512, 64))},  # unembed-shaped head
+    }
+    out, n = quantize_dense(params, min_dim=32)
+    assert n == 1
+    assert out["blocks_0"]["ff"]["proj_out"]["kernel"].dtype == jnp.int8
+    assert out["proj_out"]["kernel"].dtype == jnp.float32  # untouched

@@ -295,3 +295,31 @@ def test_registry_complete_and_jit_scan_compatible():
         out = run(sample)
         assert out.shape == sample.shape
         assert np.all(np.isfinite(np.array(out))), name
+
+
+def test_step_noise_per_sample_keys_are_slot_independent():
+    """A [B,2] per-sample key batch must give each sample noise that depends
+    only on its own key — never on its slot or the batch size (the serving
+    batcher's bit-determinism contract, serving.py)."""
+    from flash_diffusion_tpu.schedulers.base import split_step_key, step_noise
+
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in (7, 8, 9, 0)])
+    sample4 = jnp.zeros((4, 8, 8, 4))
+    n4 = np.asarray(step_noise(keys, sample4))
+    # same key solo (batch 1) reproduces its batched slot exactly, any slot
+    for j, s in enumerate((7, 8, 9)):
+        k1 = jnp.stack([jax.random.PRNGKey(s)])
+        n1 = np.asarray(step_noise(k1, jnp.zeros((1, 8, 8, 4))))
+        assert np.array_equal(n1[0], n4[j]), j
+    # single-key path unchanged: one batch-shaped draw
+    k = jax.random.PRNGKey(3)
+    assert np.array_equal(
+        np.asarray(step_noise(k, sample4)),
+        np.asarray(jax.random.normal(k, sample4.shape, sample4.dtype)),
+    )
+    # split threads per-sample chains
+    ka, kb = split_step_key(keys)
+    assert ka.shape == keys.shape and kb.shape == keys.shape
+    ka1, kb1 = split_step_key(jnp.stack([jax.random.PRNGKey(8)]))
+    assert np.array_equal(np.asarray(ka1[0]), np.asarray(ka[1]))
+    assert np.array_equal(np.asarray(kb1[0]), np.asarray(kb[1]))

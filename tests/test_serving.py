@@ -78,6 +78,11 @@ def test_dynamic_batcher_coalesces_and_is_seed_deterministic():
         assert lone.event.wait(300)
         assert lone.error is None
 
+        # slot-1 reference: "dog" seed 8 alone (slot 0 of a size-1 dispatch)
+        lone_dog = batcher.submit("dog", seed=8, steps=2, guidance=0.0)
+        assert lone_dog.event.wait(300)
+        assert lone_dog.error is None
+
         # now three concurrent requests; linger should coalesce them
         reqs = [
             batcher.submit(p, seed=s, steps=2, guidance=0.0)
@@ -87,13 +92,43 @@ def test_dynamic_batcher_coalesces_and_is_seed_deterministic():
             assert r.event.wait(300)
             assert r.error is None, r.error
             assert np.all(np.isfinite(r.image))
-        assert batcher.images_generated == 4
-        # seed 7 "cat" must be identical batched or alone (per-request latents)
+        assert batcher.images_generated == 5
+        # seed 7 "cat" must be identical batched or alone (per-request key
+        # chains drive the latent AND every stochastic scheduler step)
         assert np.allclose(np.asarray(reqs[0].image), np.asarray(lone.image), atol=1e-5)
+        # the NON-zero slot must match its solo run too — this is what a
+        # single batch-shaped noise chain gets wrong (slot j's per-step
+        # noise would depend on its offset in the padded batch)
+        assert np.allclose(np.asarray(reqs[1].image), np.asarray(lone_dog.image), atol=1e-5)
         # different seeds differ
         assert not np.allclose(np.asarray(reqs[0].image), np.asarray(reqs[1].image))
     finally:
         batcher.stop()
+
+
+def test_take_batch_defers_mismatches_to_front():
+    """A (steps, guidance)-mismatched request pulled during lingering must
+    lead the NEXT batch, not requeue behind later traffic (starvation)."""
+    pipe = _tiny_pipeline()
+    cfg = ServingConfig(max_batch=4, linger_ms=30.0, batch_sizes=(1, 2, 4))
+    batcher = DynamicBatcher(pipe, cfg)  # worker NOT started; drive manually
+    a1 = batcher.submit("a", seed=0, steps=2, guidance=0.0)
+    b = batcher.submit("b", seed=0, steps=8, guidance=0.0)  # mismatch
+    a2 = batcher.submit("c", seed=0, steps=2, guidance=0.0)
+    first = batcher._take_batch()
+    assert [r.prompt for r in first] == ["a"]  # stops at the mismatch
+    assert batcher._deferred and batcher._deferred[0] is b
+    second = batcher._take_batch()
+    assert second[0] is b  # deferred request leads the next cycle
+    third = batcher._take_batch()
+    assert third and third[0] is a2
+
+
+def test_handle_generate_empty_prompts_is_bad_request():
+    pipe = _tiny_pipeline()
+    server = InferenceServer(pipe, ServingConfig())
+    out = server.handle_generate({"prompt": []})
+    assert out["error"] and out["code"] == 400
 
 
 def test_inference_server_handle_and_metrics():

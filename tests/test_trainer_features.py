@@ -264,3 +264,52 @@ def test_quality_validator_callback_runs_in_fit():
     assert len(qv.history) == 2  # steps 2 and 4
     for _, m in qv.history:
         assert np.isfinite(m["val/feature_fd"])
+
+
+def test_sampling_callbacks_work_with_text_encoder_offload(tmp_path):
+    """With text_encoder_offload on, pipeline.frozen has NO "conditioners"
+    entry — SampleLogger/QualityValidator must still sample (they use
+    pipeline.sampling_frozen(), which places the host towers for the call)."""
+    from flash_diffusion_tpu.trainer import QualityValidator, SampleLogger
+
+    pipe0, batch = _build()
+    pipe = TrainingPipeline(
+        pipe0.model,
+        TrainingConfig(learning_rates=[1e-3, 1e-3]),
+        frozen=jax.device_get(pipe0.frozen),
+        lora_init=jax.device_get(pipe0._lora_init),
+        disc_init=jax.device_get(pipe0._disc_init),
+        text_encoder_offload=2,
+    )
+    assert "conditioners" not in pipe.frozen
+    with pipe.sampling_frozen() as fr:
+        assert "conditioners" in fr
+    assert "conditioners" not in pipe.frozen  # freed on exit
+
+    def embed(images):
+        x = np.asarray(images, np.float32).reshape(np.shape(images)[0], -1)
+        rng = np.random.default_rng(0)
+        proj = rng.standard_normal((x.shape[1], 8)).astype(np.float32)
+        return x @ proj
+
+    def provider():
+        yield dict(batch)
+
+    qv = QualityValidator(
+        provider, input_shape=(HW, HW, C), embed_fn=embed,
+        every_n_steps=2, num_batches=1, num_steps=2,
+    )
+    sl = SampleLogger(
+        lambda: dict(batch), input_shape=(HW, HW, C),
+        out_dir=str(tmp_path), every_n_steps=2, num_steps=(2,), use_wandb=False,
+    )
+
+    def data():
+        for _ in range(2):
+            yield dict(batch)
+
+    pipe.fit(data(), callbacks=[qv, sl], max_steps=2)
+    assert len(qv.history) == 1 and np.isfinite(qv.history[0][1]["val/feature_fd"])
+    import glob
+
+    assert glob.glob(str(tmp_path / "step*" / "*.png"))
