@@ -120,6 +120,23 @@ def build_data(cfg: Dict, extra_filters_mappers=()):
     )
 
     size = cfg.get("IMAGE_SIZE", 512)
+    # ASPECT_BUCKETING: true replaces the square Resize+CenterCrop with an
+    # SDXL-style aspect-bucket ladder at the same pixel budget; batches are
+    # grouped per bucket (one XLA compile per bucket shape) and the mapper
+    # emits REAL original/crop/target micro-cond tuples (see data/bucketing.py)
+    bucketing = bool(cfg.get("ASPECT_BUCKETING", False))
+    if bucketing:
+        from flash_diffusion_tpu.data import BucketAssignMapper, BucketAssignMapperConfig
+
+        image_mapper = BucketAssignMapper(
+            BucketAssignMapperConfig(
+                key="image",
+                base_size=size,
+                stride=cfg.get("BUCKET_STRIDE", 64),
+                max_aspect=cfg.get("BUCKET_MAX_ASPECT", 2.0),
+                crop=cfg.get("BUCKET_CROP", "center"),
+            )
+        )
     chain = [
         KeyFilter(KeyFilterConfig(keys=["jpg", "json"])),
         MapperWrapper(
@@ -131,7 +148,9 @@ def build_data(cfg: Dict, extra_filters_mappers=()):
                     )
                 ),
                 KeyRenameMapper(KeyRenameMapperConfig(key_map={"jpg": "image", "caption": "text"})),
-                ImageTransformMapper(
+                image_mapper
+                if bucketing
+                else ImageTransformMapper(
                     ImageTransformMapperConfig(
                         key="image",
                         transforms=[
@@ -158,6 +177,7 @@ def build_data(cfg: Dict, extra_filters_mappers=()):
         # JPEG DCT-scaled decode straight to >= train res (2-5x cheaper
         # host decode on large camera sources; no-op when source <= res)
         decode_draft_size=cfg.get("DECODE_DRAFT_SIZE", size),
+        aspect_bucketing=bucketing,
     )
     return DataPipeline(data_cfg, chain)
 

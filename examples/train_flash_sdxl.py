@@ -194,10 +194,13 @@ def main():
         for b in (data if source is None else source):
             n = b["image"].shape[0]
             b.update(tokenize(b["text"]))
-            # SDXL micro-conditioning (original/crop/target size tuples)
-            b["original_size_as_tuple"] = np.tile([size, size], (n, 1)).astype(np.float32)
-            b["crop_coords_top_left"] = np.zeros((n, 2), np.float32)
-            b["target_size_as_tuple"] = np.tile([size, size], (n, 1)).astype(np.float32)
+            # SDXL micro-conditioning (original/crop/target size tuples) —
+            # ASPECT_BUCKETING mappers emit the REAL per-sample tuples;
+            # only fabricate the constant square ones when absent
+            if "original_size_as_tuple" not in b:
+                b["original_size_as_tuple"] = np.tile([size, size], (n, 1)).astype(np.float32)
+                b["crop_coords_top_left"] = np.zeros((n, 2), np.float32)
+                b["target_size_as_tuple"] = np.tile([size, size], (n, 1)).astype(np.float32)
             yield b
 
     eval_data = None

@@ -62,6 +62,10 @@ class DataModuleConfig(BaseConfig):
     # Downstream Resize/CenterCrop mappers see a smaller, still-covering
     # image. None = full-resolution decode (reference behavior).
     decode_draft_size: Optional[int] = None
+    # Aspect-ratio bucketed batching (⊕, see data/bucketing.py): requires a
+    # BucketAssignMapper in the chain; batches() then groups samples by
+    # their __bucket__ tag so every batch is one fixed (h, w) shape.
+    aspect_bucketing: bool = False
 
 
 def _decode_member(
@@ -385,6 +389,15 @@ class DataPipeline:
 
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
         cfg = self.config
+        if cfg.aspect_bucketing:
+            from .bucketing import bucket_batches
+
+            yield from bucket_batches(
+                self.samples(epoch),
+                cfg.per_worker_batch_size,
+                drop_last=cfg.drop_last,
+            )
+            return
         batch: List[Dict[str, Any]] = []
         for sample in self.samples(epoch):
             batch.append(sample)

@@ -280,3 +280,56 @@ def test_jpeg_draft_decode(tmp_path):
     Image.new("RGB", (256, 256)).save(buf, "PNG")
     png = _decode_member("x.png", buf.getvalue(), "pil", draft_size=64)
     assert png.size == (256, 256)
+
+
+def test_aspect_bucketing_pipeline(tmp_path):
+    """⊕ aspect bucketing: mixed-aspect sources route to a fixed bucket
+    ladder, every batch is one (h, w) shape, and the SDXL micro-cond
+    tuples reflect the REAL geometry (data/bucketing.py)."""
+    from flash_diffusion_tpu.data import (
+        BucketAssignMapper,
+        BucketAssignMapperConfig,
+        DataPipeline,
+        make_buckets,
+    )
+
+    path = str(tmp_path / "mixed.tar")
+    sizes = [(96, 40), (40, 96), (64, 64)] * 4  # (w, h) PIL order
+    with tarfile.open(path, "w") as tf:
+        for i, wh in enumerate(sizes):
+            img = Image.fromarray(
+                (np.random.default_rng(i).random((wh[1], wh[0], 3)) * 255).astype(np.uint8)
+            )
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            info = tarfile.TarInfo(f"{i:06d}.png")
+            info.size = len(buf.getvalue())
+            tf.addfile(info, io.BytesIO(buf.getvalue()))
+
+    ladder = make_buckets(64, 16, 2.0)
+    assert (64, 64) in ladder
+    mapper = BucketAssignMapper(
+        BucketAssignMapperConfig(key="png", base_size=64, stride=16, max_aspect=2.0)
+    )
+    cfg = DataModuleConfig(
+        shards_path_or_urls=[path], per_worker_batch_size=2, num_workers=1,
+        shuffle_buffer_size=1, aspect_bucketing=True, seed=0,
+    )
+    pipe = DataPipeline(cfg, [mapper], process_index=0, process_count=1)
+    shapes = set()
+    n_batches = 0
+    for b in pipe.batches(epoch=0):
+        n_batches += 1
+        img = np.asarray(b["png"])
+        assert img.shape[0] == 2  # fixed batch size
+        assert img.shape[1] % 16 == 0 and img.shape[2] % 16 == 0
+        assert img.shape[1] * img.shape[2] <= 64 * 64
+        shapes.add(img.shape[1:3])
+        assert "__bucket__" not in b
+        # micro-conds reflect the true original sizes
+        assert b["original_size_as_tuple"].shape == (2, 2)
+        assert set(map(tuple, b["original_size_as_tuple"].astype(int))) <= {
+            (40, 96), (96, 40), (64, 64)
+        }
+    assert n_batches == 6  # 12 samples, batch 2, uniform per-aspect counts
+    assert len(shapes) == 3  # tall, wide, square — never mixed in a batch

@@ -313,3 +313,23 @@ def test_sampling_callbacks_work_with_text_encoder_offload(tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "step*" / "*.png"))
+
+
+def test_fit_trains_across_aspect_bucket_shapes():
+    """Multi-shape training (⊕ aspect bucketing, data/bucketing.py): the
+    jitted step retraces once per bucket shape and the same state threads
+    through — batches of different (h, w) must interleave freely."""
+    pipe, batch = _build()
+    wide = {
+        "image": jax.random.normal(jax.random.PRNGKey(9), (B, HW, HW + 8, C)),
+        "text_ids": batch["text_ids"],
+    }
+
+    def data():
+        for i in range(4):
+            yield dict(batch if i % 2 == 0 else wide)
+
+    state = pipe.fit(data(), max_steps=4)
+    assert int(state.step) == 4
+    for leaf in jax.tree_util.tree_leaves(state.lora):
+        assert np.all(np.isfinite(np.asarray(leaf)))
