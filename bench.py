@@ -26,6 +26,39 @@ import jax
 import jax.numpy as jnp
 
 
+def _preflight_backend(args, timeout_s: int = 180) -> None:
+    """Fail FAST with an explicit error record when the TPU backend is
+    unreachable (the axon relay has died for 1h+ stretches): ``jax.devices()``
+    otherwise hangs in init until the caller's timeout and the capture
+    records nothing. Probes in a subprocess (a hung in-process init can't be
+    cancelled), prints one JSON line with an ``error`` field, exits 1."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        return
+    except Exception as e:
+        print(
+            json.dumps(
+                {
+                    "metric": f"{args.model}_1024px_4nfe_images_per_sec_per_chip"
+                    if not args.train
+                    else f"{args.model}_distill_step_seconds",
+                    "value": 0.0,
+                    "unit": "images/sec/chip" if not args.train else "s/step",
+                    "vs_baseline": 0.0,
+                    "error": f"tpu_backend_unavailable: {type(e).__name__}",
+                }
+            )
+        )
+        raise SystemExit(1)
+
+
 def _matmul_probe(n: int = 4096, iters: int = 30) -> float:
     """Pure bf16 matmul roofline probe: achieved TFLOP/s on an n³ matmul.
 
@@ -433,6 +466,7 @@ def main():
     args = ap.parse_args()
     if args.input_pipeline:
         return bench_input_pipeline(args)
+    _preflight_backend(args)
     if args.train:
         return bench_train(args)
 
