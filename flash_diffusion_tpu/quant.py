@@ -111,13 +111,19 @@ def quantize_dense(
         if exc is not None and exc.search(path):
             return False
         if k.ndim == 2:
-            # Hard floor independent of the public min_dim knob: a sub-128
-            # dim can't fill an MXU int8 tile (128 lanes) so quantizing is
-            # pure accuracy loss — and it is what keeps the DiT/MMDiT
-            # patch-unembed heads (plain nn.Dense also named "proj_out",
-            # out dim p²·C ≤ 64, NO int8 branch) out of reach even at
-            # min_dim=32.
-            if min(k.shape) < 128:
+            # Root-level "proj_out" is the DiT/MMDiT patch-unembed head: a
+            # plain nn.Dense that shares the allowlisted name but has NO
+            # int8 branch (flax silently promote-upcasts an int8 kernel
+            # WITHOUT its scale → garbage outputs, no error). Every
+            # int8-aware LoraDense proj_out lives ≥2 module scopes deep
+            # (.../attentions_N/proj_out, .../ff/proj_out), so a depth
+            # anchor excludes the head at ANY min_dim — the knob the
+            # default dim threshold only accidentally protected.
+            if (
+                include is DENSE_INCLUDE
+                and path.endswith("/proj_out")
+                and path.strip("/").count("/") <= 1
+            ):
                 return False
             return min(k.shape) >= min_dim and (inc is None or bool(inc.search(path)))
         if k.ndim == 4 and convs:

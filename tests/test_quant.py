@@ -151,16 +151,21 @@ def test_int8_conv_and_resnet_block():
     assert rel < 0.1, rel
 
 
-def test_quantize_dense_never_touches_sub128_kernels():
-    """The 128 hard floor is independent of the public min_dim knob: the
-    DiT/MMDiT patch-unembed heads are plain nn.Dense ALSO named "proj_out"
-    (no int8 branch — an int8 kernel would be silently upcast without its
-    scale), and their out dim p²·C is ≤ 64 in every real config."""
+def test_quantize_dense_never_touches_root_proj_out_head():
+    """The DiT/MMDiT patch-unembed head is a ROOT-level plain nn.Dense also
+    named "proj_out" (no int8 branch — an int8 kernel would be silently
+    upcast without its scale). The depth anchor must exclude it at ANY
+    min_dim, while nested LoraDense proj_out modules still quantize."""
     params = {
-        "blocks_0": {"ff": {"proj_out": {"kernel": jnp.ones((512, 512))}}},
-        "proj_out": {"kernel": jnp.ones((512, 64))},  # unembed-shaped head
+        "params": {
+            "blocks_0": {"ff": {"proj_out": {"kernel": jnp.ones((512, 512))}}},
+            "proj_out": {"kernel": jnp.ones((512, 512))},  # unembed head
+        }
     }
     out, n = quantize_dense(params, min_dim=32)
     assert n == 1
-    assert out["blocks_0"]["ff"]["proj_out"]["kernel"].dtype == jnp.int8
-    assert out["proj_out"]["kernel"].dtype == jnp.float32  # untouched
+    assert out["params"]["blocks_0"]["ff"]["proj_out"]["kernel"].dtype == jnp.int8
+    assert out["params"]["proj_out"]["kernel"].dtype == jnp.float32  # untouched
+    # same without the "params" wrapper (callers pass inner trees too)
+    out2, n2 = quantize_dense(params["params"], min_dim=32)
+    assert n2 == 1 and out2["proj_out"]["kernel"].dtype == jnp.float32
