@@ -12,6 +12,11 @@ code (its README defers to HF pipelines, reference README.md:316-353).
     curl -s -X POST localhost:8500/generate \
         -d '{"prompt": "A raccoon reading a book", "steps": 4}' > out.png
     curl -s localhost:8500/metrics
+
+Request fields: prompt (str or list), steps, guidance_scale, seed,
+format ("png" | "json"), and optional height/width (pixels, multiples of
+64 — per-request resolution; same-size requests batch together, each new
+size compiles once then serves at full speed).
 """
 
 import argparse

@@ -48,6 +48,7 @@ class FlashPipeline:
         scheduler: str = "LCMScheduler",
         scheduler_config: Optional[SchedulerConfig] = None,
         latent_shape: Tuple[int, int, int] = (64, 64, 4),
+        vae_scale_factor: int = 8,
     ):
         self.denoiser = denoiser
         self.base_params = params
@@ -61,6 +62,7 @@ class FlashPipeline:
         self.sched_mod = REGISTRY[scheduler]
         self.sched_config = scheduler_config or SchedulerConfig()
         self.latent_shape = tuple(latent_shape)
+        self.vae_scale_factor = vae_scale_factor
         self._adapters: Dict[str, Tuple[Any, float]] = {}
         self._generate_jit = {}
         self._quant_mode: Optional[str] = None
@@ -165,6 +167,8 @@ class FlashPipeline:
         negative_prompts: Optional[Sequence[str]] = None,
         seed: int | Sequence[int] = 0,
         latents: Optional[jnp.ndarray] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
     ) -> jnp.ndarray:
         """Images in [-1, 1] NHWC. The published 4-NFE setting is the
         default: 4 steps, guidance 0 (no CFG doubling).
@@ -174,7 +178,12 @@ class FlashPipeline:
         noise chain of sample ``j`` derive only from ``seed[j]`` — the image
         is bit-identical at any batch size / slot (the serving batcher's
         determinism contract). A scalar seed keeps the classic single-chain
-        behavior (one batch-shaped draw per step)."""
+        behavior (one batch-shaped draw per step).
+
+        ``height``/``width`` (pixels, both or neither; multiples of
+        8·vae_scale_factor so latent dims stay UNet/patch-aligned) override
+        the default resolution — each distinct shape compiles once (jit
+        shape cache), after which it serves at full speed."""
         if isinstance(prompts, dict):
             batch_inputs = prompts
             batch = next(
@@ -205,6 +214,16 @@ class FlashPipeline:
                         ucg_keys=[c.input_key for c in self.conditioner.conditioners],
                     )
 
+        if (height is None) != (width is None):
+            raise ValueError("pass both height and width, or neither")
+        lshape = self.latent_shape
+        if height is not None:
+            f = self.vae_scale_factor
+            align = 8 * f  # latent dims divisible by 8 (UNet 3-level / patch)
+            if height % align or width % align:
+                raise ValueError(f"height/width must be multiples of {align}")
+            lshape = (height // f, width // f, self.latent_shape[-1])
+
         if isinstance(seed, (list, tuple, np.ndarray)):
             if len(seed) != batch:
                 raise ValueError(f"got {len(seed)} seeds for batch {batch}")
@@ -212,14 +231,12 @@ class FlashPipeline:
             ks = jax.vmap(jax.random.split)(base)  # [B, 2, 2]
             kz, rng = ks[:, 0], ks[:, 1]  # latent keys, per-sample step chains
             if latents is None:
-                latents = jax.vmap(
-                    lambda k: jax.random.normal(k, self.latent_shape)
-                )(kz)
+                latents = jax.vmap(lambda k: jax.random.normal(k, lshape))(kz)
         else:
             rng = jax.random.PRNGKey(seed)
             if latents is None:
                 rng, kz = jax.random.split(rng)
-                latents = jax.random.normal(kz, (batch, *self.latent_shape))
+                latents = jax.random.normal(kz, (batch, *lshape))
 
         key = (num_inference_steps, guidance_scale, batch)
         if key not in self._generate_jit:

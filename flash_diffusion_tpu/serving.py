@@ -8,7 +8,7 @@ new XLA compile) and coalescing concurrent requests into one dispatch
 module provides both:
 
 - ``DynamicBatcher``: a linger-window request coalescer. Requests with the
-  same (steps, guidance) key are merged up to ``max_batch``, prompts padded
+  same (steps, guidance, height, width) key are merged up to ``max_batch``, prompts padded
   to the fixed compile size, per-request seeds passed through to the
   pipeline's per-sample PRNG chains (initial latent AND every stochastic
   scheduler step derive only from that request's seed, so a request's image
@@ -50,7 +50,7 @@ class ServingConfig:
     default_guidance: float = 0.0
     # fixed compile sizes: requests are padded up to the smallest of these
     # ≥ the coalesced batch, so the server only ever compiles len(sizes)
-    # generate graphs per (steps, guidance) key.
+    # generate graphs per (steps, guidance, height, width) key.
     batch_sizes: tuple = (1, 4, 8)
 
 
@@ -60,6 +60,8 @@ class _Request:
     seed: int
     steps: int
     guidance: float
+    height: Optional[int] = None  # None = pipeline default resolution
+    width: Optional[int] = None
     event: threading.Event = field(default_factory=threading.Event)
     image: Optional[np.ndarray] = None
     error: Optional[str] = None
@@ -72,7 +74,7 @@ class DynamicBatcher:
         self.pipeline = pipeline
         self.config = config
         self._queue: "queue.Queue[_Request]" = queue.Queue()
-        # (steps, guidance)-mismatched requests pulled during lingering wait
+        # key-mismatched requests pulled during lingering wait
         # here and are FIRST in line for the next batch — requeueing them at
         # the back of the FIFO would let a sustained stream of another key's
         # traffic starve them indefinitely.
@@ -90,10 +92,27 @@ class DynamicBatcher:
         self._stop.set()
         self._thread.join(timeout=5)
 
-    def submit(self, prompt: str, seed: int, steps: int, guidance: float) -> _Request:
-        req = _Request(prompt=prompt, seed=seed, steps=steps, guidance=guidance)
+    def submit(
+        self,
+        prompt: str,
+        seed: int,
+        steps: int,
+        guidance: float,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+    ) -> _Request:
+        req = _Request(
+            prompt=prompt, seed=seed, steps=steps, guidance=guidance,
+            height=height, width=width,
+        )
         self._queue.put(req)
         return req
+
+    @staticmethod
+    def _key(r: _Request):
+        # only same-shape work batches together: steps/guidance change the
+        # graph, height/width change every tensor shape
+        return (r.steps, r.guidance, r.height, r.width)
 
     # ---- worker ----
     def _take_batch(self) -> List[_Request]:
@@ -105,11 +124,11 @@ class DynamicBatcher:
             except queue.Empty:
                 return []
         batch = [first]
-        key = (first.steps, first.guidance)
+        key = self._key(first)
         deadline = time.monotonic() + self.config.linger_ms / 1000.0
         # drain same-key deferred requests first (they've waited longest)
         while self._deferred and len(batch) < self.config.max_batch:
-            if (self._deferred[0].steps, self._deferred[0].guidance) == key:
+            if self._key(self._deferred[0]) == key:
                 batch.append(self._deferred.popleft())
             else:
                 break
@@ -123,7 +142,7 @@ class DynamicBatcher:
                 break
             # only same-shape work batches together; defer mismatches to the
             # FRONT of the next cycle (no starvation)
-            if (nxt.steps, nxt.guidance) == key:
+            if self._key(nxt) == key:
                 batch.append(nxt)
             else:
                 self._deferred.append(nxt)
@@ -155,6 +174,8 @@ class DynamicBatcher:
                     num_inference_steps=batch[0].steps,
                     guidance_scale=batch[0].guidance,
                     seed=seeds,
+                    height=batch[0].height,
+                    width=batch[0].width,
                 )
                 images = np.asarray(images)[:n]
                 for r, img in zip(batch, images):
@@ -199,10 +220,16 @@ class InferenceServer:
         steps = int(body.get("steps", self.config.default_steps))
         guidance = float(body.get("guidance_scale", self.config.default_guidance))
         seed = int(body.get("seed", 0))
+        height = body.get("height")
+        width = body.get("width")
+        if (height is None) != (width is None):
+            return {"error": "pass both height and width, or neither", "code": 400}
+        if height is not None:
+            height, width = int(height), int(width)
         t0 = time.monotonic()
         self.requests += 1
         reqs = [
-            self.batcher.submit(p, seed + i, steps, guidance)
+            self.batcher.submit(p, seed + i, steps, guidance, height, width)
             for i, p in enumerate(prompts)
         ]
         for r in reqs:

@@ -188,3 +188,28 @@ def test_inference_server_http_roundtrip():
         assert m["images_generated"] >= 1
     finally:
         server.shutdown()
+
+
+def test_per_request_resolution():
+    """height/width per request: same-size requests coalesce, sizes never
+    mix in a batch, each image lands at its requested latent shape."""
+    pipe = _tiny_pipeline()  # latent (8, 8, 4), vae_scale 8 → 64-px align
+    cfg = ServingConfig(max_batch=4, linger_ms=100.0, batch_sizes=(1, 2, 4))
+    batcher = DynamicBatcher(pipe, cfg).start()
+    try:
+        tall = batcher.submit("cat", seed=1, steps=2, guidance=0.0, height=128, width=64)
+        wide = batcher.submit("dog", seed=2, steps=2, guidance=0.0, height=64, width=128)
+        deflt = batcher.submit("owl", seed=3, steps=2, guidance=0.0)
+        for r in (tall, wide, deflt):
+            assert r.event.wait(300)
+            assert r.error is None, r.error
+        assert np.asarray(tall.image).shape == (16, 8, 4)  # no VAE: latents
+        assert np.asarray(wide.image).shape == (8, 16, 4)
+        assert np.asarray(deflt.image).shape == (8, 8, 4)
+    finally:
+        batcher.stop()
+
+    # server-level validation: mismatched height/width pair is a 400
+    server = InferenceServer(pipe, cfg)
+    out = server.handle_generate({"prompt": "x", "height": 128})
+    assert out["error"] and out["code"] == 400
