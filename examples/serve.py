@@ -14,9 +14,10 @@ code (its README defers to HF pipelines, reference README.md:316-353).
     curl -s localhost:8500/metrics
 
 Request fields: prompt (str or list), steps, guidance_scale, seed,
-format ("png" | "json"), and optional height/width (pixels, multiples of
-64 — per-request resolution; same-size requests batch together, each new
-size compiles once then serves at full speed).
+negative_prompt (used when guidance_scale enables CFG), format
+("png" | "json"), and optional height/width (pixels, multiples of 64 —
+per-request resolution; same-size requests batch together, each new size
+compiles once then serves at full speed).
 """
 
 import argparse

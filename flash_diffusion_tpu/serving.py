@@ -62,6 +62,7 @@ class _Request:
     guidance: float
     height: Optional[int] = None  # None = pipeline default resolution
     width: Optional[int] = None
+    negative: Optional[str] = None  # only consulted when guidance enables CFG
     event: threading.Event = field(default_factory=threading.Event)
     image: Optional[np.ndarray] = None
     error: Optional[str] = None
@@ -100,10 +101,11 @@ class DynamicBatcher:
         guidance: float,
         height: Optional[int] = None,
         width: Optional[int] = None,
+        negative: Optional[str] = None,
     ) -> _Request:
         req = _Request(
             prompt=prompt, seed=seed, steps=steps, guidance=guidance,
-            height=height, width=width,
+            height=height, width=width, negative=negative,
         )
         self._queue.put(req)
         return req
@@ -169,10 +171,14 @@ class DynamicBatcher:
                 # per-sample key chains), so results are identical batched,
                 # padded, or alone
                 seeds = [r.seed for r in batch] + [0] * (size - n)
+                negatives = None
+                if any(r.negative for r in batch) and batch[0].guidance not in (0.0, 1.0):
+                    negatives = [r.negative or "" for r in batch] + [""] * (size - n)
                 images = self.pipeline.generate(
                     prompts,
                     num_inference_steps=batch[0].steps,
                     guidance_scale=batch[0].guidance,
+                    negative_prompts=negatives,
                     seed=seeds,
                     height=batch[0].height,
                     width=batch[0].width,
@@ -226,10 +232,11 @@ class InferenceServer:
             return {"error": "pass both height and width, or neither", "code": 400}
         if height is not None:
             height, width = int(height), int(width)
+        negative = body.get("negative_prompt")
         t0 = time.monotonic()
         self.requests += 1
         reqs = [
-            self.batcher.submit(p, seed + i, steps, guidance, height, width)
+            self.batcher.submit(p, seed + i, steps, guidance, height, width, negative)
             for i, p in enumerate(prompts)
         ]
         for r in reqs:

@@ -213,3 +213,19 @@ def test_per_request_resolution():
     server = InferenceServer(pipe, cfg)
     out = server.handle_generate({"prompt": "x", "height": 128})
     assert out["error"] and out["code"] == 400
+
+
+def test_negative_prompt_with_cfg():
+    """negative_prompt flows through to the CFG uncond branch (only when
+    guidance enables CFG); result differs from the no-negative run."""
+    pipe = _tiny_pipeline()
+    cfg = ServingConfig(max_batch=2, linger_ms=5.0, batch_sizes=(1, 2))
+    batcher = DynamicBatcher(pipe, cfg).start()
+    try:
+        plain = batcher.submit("cat", seed=5, steps=2, guidance=3.0)
+        assert plain.event.wait(300) and plain.error is None, plain.error
+        neg = batcher.submit("cat", seed=5, steps=2, guidance=3.0, negative="dog")
+        assert neg.event.wait(300) and neg.error is None, neg.error
+        assert not np.allclose(np.asarray(plain.image), np.asarray(neg.image))
+    finally:
+        batcher.stop()
