@@ -159,6 +159,7 @@ def main():
         learning_rates=[float(cfg["LR"]), float(cfg.get("LR_DISCRIMINATOR", cfg["LR"]))],
         checkpoint_every_n_steps=cfg.get("CKPT_EVERY_N_STEPS", 5000),
         checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
+        gradient_accumulation_steps=cfg.get("GRADIENT_ACCUMULATION_STEPS", 1),
     )
     pipeline = TrainingPipeline(
         model, train_cfg, frozen, lora, disc_params,

@@ -164,6 +164,7 @@ def main():
         checkpoint_every_n_steps=cfg.get("CKPT_EVERY_N_STEPS", 5000),
         checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
         ema_decay=cfg.get("EMA_DECAY"),
+        gradient_accumulation_steps=cfg.get("GRADIENT_ACCUMULATION_STEPS", 1),
         val_every_n_steps=cfg.get("VAL_EVERY_N_STEPS"),
     )
     pipeline = TrainingPipeline(

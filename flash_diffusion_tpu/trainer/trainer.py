@@ -169,6 +169,7 @@ class TrainingPipeline:
         is_wgan = self.is_wgan
         wgan_clip = self.config.wgan_clip
         ema_decay = self.config.ema_decay
+        accum = self.config.gradient_accumulation_steps
 
         def step_fn(state: TrainState, frozen, batch):
             rng, sub = jax.random.split(state.rng)
@@ -221,8 +222,16 @@ class TrainingPipeline:
             ema = state.ema
             # "d"-phase steps leave the lora tree untouched — decaying the EMA
             # there would halve its time constant vs the simultaneous mode.
+            # Same logic under gradient accumulation: only decay on boundary
+            # micro-steps (where MultiSteps actually applied an update).
             if ema_decay and phase != "d" and jax.tree_util.tree_leaves(state.ema):
-                ema = update_ema(state.ema, lora, ema_decay)
+                new_ema = update_ema(state.ema, lora, ema_decay)
+                if accum > 1:
+                    boundary = (state.step + 1) % accum == 0
+                    new_ema = jax.tree_util.tree_map(
+                        lambda e, n: jnp.where(boundary, n, e), state.ema, new_ema
+                    )
+                ema = new_ema
 
             new_state = TrainState(
                 lora=lora, disc=disc, opt_g=opt_g, opt_d=opt_d,

@@ -51,6 +51,12 @@ class TrainingConfig(BaseConfig):
     # lora/disc split already partitions the two groups)
     trainable_params: Optional[List[List[str]]] = None
     gradient_clip_norm: Optional[float] = None
+    # Micro-batch gradient accumulation: k micro-steps average into ONE
+    # optimizer update (optax.MultiSteps; non-boundary steps emit zero
+    # updates, EMA freezes between boundaries). max_steps /
+    # stage-iteration counters count MICRO-steps. ⊕ no reference analog
+    # (PTL's accumulate_grad_batches equivalent).
+    gradient_accumulation_steps: int = 1
     # Adam/AdamW first-moment storage dtype (None = fp32). bf16 by default:
     # halves mu's HBM with negligible effect at distillation LRs (1e-5).
     adam_mu_dtype: Optional[str] = "bfloat16"
@@ -97,4 +103,9 @@ class TrainingConfig(BaseConfig):
         tx = _OPTIMIZERS[name](lr, **kwargs)
         if self.gradient_clip_norm:
             tx = optax.chain(optax.clip_by_global_norm(self.gradient_clip_norm), tx)
+        if self.gradient_accumulation_steps > 1:
+            ms = optax.MultiSteps(
+                tx, every_k_schedule=self.gradient_accumulation_steps
+            )
+            tx = optax.GradientTransformation(ms.init, ms.update)
         return tx

@@ -333,3 +333,27 @@ def test_fit_trains_across_aspect_bucket_shapes():
     assert int(state.step) == 4
     for leaf in jax.tree_util.tree_leaves(state.lora):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_gradient_accumulation_applies_on_boundaries_only():
+    """⊕ gradient_accumulation_steps=k: micro-steps accumulate (zero
+    update, EMA frozen) and the optimizer applies once per k."""
+    pipe, batch = _build(ema_decay=0.5, gradient_accumulation_steps=2)
+    state0 = pipe.init_state()
+    f0 = _flat(jax.device_get(state0.lora))  # snapshot: step donates state
+    e0 = _flat(jax.device_get(state0.ema))
+    step = pipe.step_fn_for_stage(0)
+    state1, _ = step(state0, pipe.frozen, dict(batch))
+    f1 = _flat(state1.lora)
+    for k in f0:  # non-boundary micro-step: params untouched
+        np.testing.assert_array_equal(f0[k], f1[k], err_msg=k)
+    e1 = _flat(state1.ema)
+    for k in e0:  # EMA frozen between boundaries
+        np.testing.assert_array_equal(e0[k], e1[k], err_msg=k)
+    state2, _ = step(state1, pipe.frozen, dict(batch))
+    f2 = _flat(state2.lora)
+    assert any(not np.array_equal(f0[k], f2[k]) for k in f0)  # boundary applied
+    e2 = _flat(state2.ema)
+    assert any(not np.array_equal(e0[k], e2[k]) for k in e0)
+    for leaf in jax.tree_util.tree_leaves(state2.lora):
+        assert np.all(np.isfinite(np.asarray(leaf)))
