@@ -108,10 +108,13 @@ def build_pipeline(
         tokenizer_fn=tokenizer_fn,
         latent_shape=(lat_hw, lat_hw, 4),
     )
+    # path → (tree, scaling) with this model's name map: serve.py's /loras
+    # hot-swap endpoint loads through this
+    pipe.lora_loader = lambda path: load_peft_safetensors(
+        path, unet_params, unet_lora_name_map(unet_cfg), prefix="unet"
+    )
     if lora:
-        tree, scaling = load_peft_safetensors(
-            lora, unet_params, unet_lora_name_map(unet_cfg), prefix="unet"
-        )
+        tree, scaling = pipe.lora_loader(lora)
         pipe.load_lora(tree, scaling * lora_scale)
         print(f"loaded LoRA {lora} (scaling {scaling * lora_scale})")
     return pipe

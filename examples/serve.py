@@ -12,6 +12,11 @@ code (its README defers to HF pipelines, reference README.md:316-353).
     curl -s -X POST localhost:8500/generate \
         -d '{"prompt": "A raccoon reading a book", "steps": 4}' > out.png
     curl -s localhost:8500/metrics
+    # runtime LoRA hot-swap (no restart; no recompile):
+    curl -s localhost:8500/loras
+    curl -s -X POST localhost:8500/loras \
+        -d '{"action": "load", "path": "/adapters/style.safetensors", "name": "style", "scale": 0.8}'
+    curl -s -X POST localhost:8500/loras -d '{"action": "unload", "name": "style"}'
 
 Request fields: prompt (str or list), steps, guidance_scale, seed,
 negative_prompt (used when guidance_scale enables CFG), format

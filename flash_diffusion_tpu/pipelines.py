@@ -63,12 +63,20 @@ class FlashPipeline:
         self.sched_config = scheduler_config or SchedulerConfig()
         self.latent_shape = tuple(latent_shape)
         self.vae_scale_factor = vae_scale_factor
+        # optional: path -> (lora_tree, scaling) loader with the right
+        # name-map baked in (builders set this; serving's /loras uses it)
+        self.lora_loader: Optional[Callable[[str], Tuple[Any, float]]] = None
         self._adapters: Dict[str, Tuple[Any, float]] = {}
         self._generate_jit = {}
         self._quant_mode: Optional[str] = None
         self._quant_min_dim = 256
 
     # -- LoRA management (README.md:318-405 parity) ---------------------
+    @property
+    def adapters(self) -> Dict[str, float]:
+        """Loaded adapter names → scaling (read-only view)."""
+        return {n: s for n, (_, s) in self._adapters.items()}
+
     def load_lora(self, lora_tree, scaling: float = 1.0, name: str = "default"):
         """Attach a LoRA adapter (e.g. from lora.load_peft_safetensors)."""
         self._adapters[name] = (lora_tree, scaling)

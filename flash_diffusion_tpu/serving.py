@@ -253,6 +253,42 @@ class InferenceServer:
             del self._latencies[:-512]
         return {"images": [r.image for r in reqs], "latency_s": dt}
 
+    def handle_loras(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """Runtime adapter management (multi-tenant style serving): list /
+        load / rescale / unload LoRA adapters without a restart. In-flight
+        dispatches finish with the weights they grabbed; later dispatches
+        see the new merge (the merge is a host-side param-tree rebuild —
+        no recompile, jitted graphs take params as arguments)."""
+        pipe = self.batcher.pipeline
+        action = body.get("action", "list")
+        try:
+            if action == "list":
+                pass
+            elif action == "load":
+                path = body["path"]
+                name = body.get("name", "default")
+                user_scale = float(body.get("scale", 1.0))
+                loader = pipe.lora_loader
+                if loader is None:
+                    from .lora import load_peft_safetensors
+
+                    def loader(p):
+                        return load_peft_safetensors(p, pipe.base_params)
+
+                tree, scaling = loader(path)
+                pipe.load_lora(tree, scaling=scaling * user_scale, name=name)
+            elif action == "scale":
+                pipe.set_adapter_scale(body["name"], float(body["scale"]))
+            elif action == "unload":
+                pipe.unload_lora(body.get("name", "default"))
+            else:
+                return {"error": f"unknown action {action!r}", "code": 400}
+        except KeyError as e:
+            return {"error": f"missing field {e}", "code": 400}
+        except Exception as e:
+            return {"error": f"{type(e).__name__}: {e}", "code": 400}
+        return {"adapters": pipe.adapters}
+
     def metrics(self) -> Dict[str, Any]:
         with self._lat_lock:
             lats = sorted(self._latencies)
@@ -297,11 +333,13 @@ class InferenceServer:
                     self._send_json(server.healthz())
                 elif self.path == "/metrics":
                     self._send_json(server.metrics())
+                elif self.path == "/loras":
+                    self._send_json(server.handle_loras({}))
                 else:
                     self._send_json({"error": "not found"}, 404)
 
             def do_POST(self):
-                if self.path != "/generate":
+                if self.path not in ("/generate", "/loras"):
                     self._send_json({"error": "not found"}, 404)
                     return
                 try:
@@ -309,6 +347,10 @@ class InferenceServer:
                     body = json.loads(self.rfile.read(n) or b"{}")
                 except Exception as e:
                     self._send_json({"error": f"bad request: {e}"}, 400)
+                    return
+                if self.path == "/loras":
+                    result = server.handle_loras(body)
+                    self._send_json(result, result.pop("code", 200) if "error" in result else 200)
                     return
                 result = server.handle_generate(body)
                 if "error" in result:

@@ -229,3 +229,36 @@ def test_negative_prompt_with_cfg():
         assert not np.allclose(np.asarray(plain.image), np.asarray(neg.image))
     finally:
         batcher.stop()
+
+
+def test_lora_hot_swap_endpoint(tmp_path):
+    """/loras: load / rescale / unload adapters at runtime; generate
+    reflects the current merge, scale 0 restores the base result."""
+    from flash_diffusion_tpu.lora import init_lora, save_peft_safetensors
+
+    pipe = _tiny_pipeline()
+    server = InferenceServer(pipe, ServingConfig())
+    base = np.asarray(pipe.generate(["cat"], num_inference_steps=2, guidance_scale=0.0))
+
+    tree = init_lora(pipe.base_params, rank=2, rng=jax.random.PRNGKey(7))
+    # B factors init to zero (merged == base); perturb so the merge acts
+    tree = jax.tree_util.tree_map(lambda x: x + 0.05, tree)
+    path = str(tmp_path / "adapter.safetensors")
+    save_peft_safetensors(path, tree)
+
+    out = server.handle_loras({"action": "load", "path": path, "name": "style"})
+    assert "error" not in out and "style" in out["adapters"]
+    with_lora = np.asarray(pipe.generate(["cat"], num_inference_steps=2, guidance_scale=0.0))
+    assert not np.allclose(with_lora, base)
+
+    out = server.handle_loras({"action": "scale", "name": "style", "scale": 0.0})
+    assert out["adapters"]["style"] == 0.0
+    at_zero = np.asarray(pipe.generate(["cat"], num_inference_steps=2, guidance_scale=0.0))
+    np.testing.assert_allclose(at_zero, base, atol=1e-5)
+
+    out = server.handle_loras({"action": "unload", "name": "style"})
+    assert out["adapters"] == {}
+    out = server.handle_loras({"action": "bogus"})
+    assert out["error"] and out["code"] == 400
+    out = server.handle_loras({"action": "load"})  # missing path
+    assert out["error"] and out["code"] == 400
