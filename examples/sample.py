@@ -32,6 +32,7 @@ from flash_diffusion_tpu.models.embedders import (
     ClipEmbedderConfig,
     ConditionerWrapper,
 )
+from flash_diffusion_tpu.schedulers import SchedulerConfig
 from flash_diffusion_tpu.trainer.loggers import make_grid, save_png
 from flash_diffusion_tpu.utils.hf import (
     import_clip_text,
@@ -39,6 +40,274 @@ from flash_diffusion_tpu.utils.hf import (
     import_vae,
     unet_lora_name_map,
 )
+
+
+def _clip_tokenizer(root, max_length=77, key="text_ids"):
+    try:
+        tok_dir = os.path.join(root, "tokenizer")
+        if not os.path.isdir(tok_dir):
+            raise FileNotFoundError(tok_dir)  # avoid HF-hub network retries
+        from transformers import CLIPTokenizerFast
+
+        tok = CLIPTokenizerFast.from_pretrained(tok_dir)
+
+        def tokenizer_fn(texts):
+            out = tok(texts, padding="max_length", max_length=max_length, truncation=True, return_tensors="np")
+            return {key: out["input_ids"]}
+    except Exception:
+        print("WARNING: no local tokenizer — using zero token ids", file=sys.stderr)
+
+        def tokenizer_fn(texts):
+            return {key: np.zeros((len(texts), max_length), np.int32)}
+
+    return tokenizer_fn
+
+
+def _t5_tokenizer(root, max_length=120):
+    try:
+        tok_dir = os.path.join(root, "tokenizer")
+        if not os.path.isdir(tok_dir):
+            raise FileNotFoundError(tok_dir)
+        from transformers import T5TokenizerFast
+
+        tok = T5TokenizerFast.from_pretrained(tok_dir)
+
+        def tokenizer_fn(texts):
+            out = tok(texts, padding="max_length", max_length=max_length, truncation=True, return_tensors="np")
+            return {"text_ids": out["input_ids"], "text_mask": out["attention_mask"]}
+    except Exception:
+        print("WARNING: no local T5 tokenizer — using zero token ids", file=sys.stderr)
+
+        def tokenizer_fn(texts):
+            return {
+                "text_ids": np.zeros((len(texts), max_length), np.int32),
+                "text_mask": np.ones((len(texts), max_length), np.int32),
+            }
+
+    return tokenizer_fn
+
+
+def _build_sd_unet(model, root, random_init, rng):
+    """sd15 / sdxl: UNet + sd VAE + the family's conditioner stack."""
+    from flash_diffusion_tpu.models.embedders import (
+        TimestepsEmbedder,
+        TimestepsEmbedderConfig,
+    )
+
+    if model == "sd15":
+        unet_cfg, lat_hw, ctx = sd15_unet_config(), 64, 768
+        clip = ClipEmbedder(ClipEmbedderConfig(input_key="text", layer="last"))
+        conditioner = ConditionerWrapper([clip])
+        towers = [("text_encoder/model.safetensors", clip)]
+        dummy_cond = {"cond": {"crossattn": jnp.zeros((1, 77, ctx))}}
+        size_cond_fn = None
+    else:  # sdxl: dual CLIP + size/crop/target embeds (train_flash_sdxl stack)
+        unet_cfg, lat_hw, ctx = sdxl_unet_config(), 128, 2048
+        clip_l = ClipEmbedder(
+            ClipEmbedderConfig(input_key="text", layer="hidden", layer_idx=-2)
+        )
+        clip_g = ClipEmbedder(
+            ClipEmbedderConfig(
+                input_key="text",
+                text_embedder_config=dict(
+                    hidden_size=1280, intermediate_size=5120, num_layers=32,
+                    num_heads=20, hidden_act="gelu", projection_dim=1280,
+                ),
+                layer="hidden", layer_idx=-2,
+                always_return_pooled=True, use_projection=True,
+            )
+        )
+        size_embedders = [
+            TimestepsEmbedder(TimestepsEmbedderConfig(input_key=key, num_channels=256))
+            for key in ("original_size_as_tuple", "crop_coords_top_left", "target_size_as_tuple")
+        ]
+        conditioner = ConditionerWrapper([clip_l, clip_g, *size_embedders])
+        towers = [
+            ("text_encoder/model.safetensors", clip_l),
+            ("text_encoder_2/model.safetensors", clip_g),
+        ]
+        dummy_cond = {
+            "cond": {
+                "crossattn": jnp.zeros((1, 77, ctx)),
+                "vector": jnp.zeros((1, 2816)),
+            }
+        }
+
+        def size_cond_fn(n, h, w):
+            return {
+                "original_size_as_tuple": np.tile([h, w], (n, 1)).astype(np.float32),
+                "crop_coords_top_left": np.zeros((n, 2), np.float32),
+                "target_size_as_tuple": np.tile([h, w], (n, 1)).astype(np.float32),
+            }
+
+    unet = UNet2DCondition(unet_cfg, dtype=jnp.bfloat16)
+    vae_cfg = sd_vae_config(scaling_factor=0.13025 if model == "sdxl" else 0.18215)
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
+    denoiser_params = maybe_import(
+        os.path.join(root, "unet/diffusion_pytorch_model.safetensors"),
+        import_unet, unet_cfg, random_init,
+        lambda: init_params_shape_only(
+            unet, jnp.zeros((1, lat_hw, lat_hw, 4)), jnp.zeros((1,), jnp.int32), dummy_cond
+        ),
+    )
+    vae_params = maybe_import(
+        os.path.join(root, "vae/diffusion_pytorch_model.safetensors"),
+        import_vae, vae_cfg, random_init,
+        lambda: init_params_shape_only(vae, jnp.zeros((1, 64, 64, 3))),
+    )
+    cparams = [
+        maybe_import(
+            os.path.join(root, path), import_clip_text, tower.encoder_config,
+            random_init,
+            lambda tower=tower: tower.init(rng, {"text_ids": jnp.zeros((1, 77), jnp.int32)}),
+        )
+        for path, tower in towers
+    ]
+    cparams += [{}] * (len(conditioner.conditioners) - len(cparams))
+    return dict(
+        denoiser=unet, denoiser_params=denoiser_params,
+        conditioner=conditioner, conditioner_params=cparams,
+        vae=vae, vae_params=vae_params,
+        tokenizer_fn=_clip_tokenizer(root),
+        latent_shape=(lat_hw, lat_hw, 4),
+        scheduler="LCMScheduler", scheduler_config=SchedulerConfig(),
+        size_cond_fn=size_cond_fn,
+        lora_name_map=unet_lora_name_map(unet_cfg), lora_prefix="unet",
+    )
+
+
+def _build_pixart(root, random_init, rng):
+    """Pixart-α 1024²: DiT + T5 conditioner + resolution/aspect vector."""
+    from flash_diffusion_tpu.models import DiT, pixart_config
+    from flash_diffusion_tpu.models.embedders import (
+        RawVectorEmbedder,
+        RawVectorEmbedderConfig,
+        T5TextEmbedder,
+        T5TextEmbedderConfig,
+    )
+    from flash_diffusion_tpu.utils.hf import import_pixart_dit, import_t5_encoder
+
+    dit_cfg = pixart_config(num_vector_embeds=3)
+    dit = DiT(dit_cfg, dtype=jnp.bfloat16)
+    vae_cfg = sd_vae_config()
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
+    t5 = T5TextEmbedder(T5TextEmbedderConfig(input_key="text", max_length=120))
+    res_ar = RawVectorEmbedder(RawVectorEmbedderConfig(input_key="resolution_ar"))
+    conditioner = ConditionerWrapper([t5, res_ar])
+    lat = 128
+    dummy_cond = {
+        "cond": {
+            "crossattn": jnp.zeros((1, 120, 4096)),
+            "attention_mask": jnp.ones((1, 120), jnp.int32),
+            "vector": jnp.zeros((1, 3)),
+        }
+    }
+    dit_params = maybe_import(
+        os.path.join(root, "transformer/diffusion_pytorch_model.safetensors"),
+        import_pixart_dit, dit_cfg, random_init,
+        lambda: init_params_shape_only(
+            dit, jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,), jnp.int32), dummy_cond
+        ),
+    )
+    vae_params = maybe_import(
+        os.path.join(root, "vae/diffusion_pytorch_model.safetensors"),
+        import_vae, vae_cfg, random_init,
+        lambda: init_params_shape_only(vae, jnp.zeros((1, 64, 64, 3))),
+    )
+    t5_params = maybe_import(
+        os.path.join(root, "text_encoder/model.safetensors"),
+        import_t5_encoder, t5.encoder_config, random_init,
+        lambda: init_params_shape_only(t5, {"text_ids": jnp.zeros((1, 120), jnp.int32)}),
+    )
+    return dict(
+        denoiser=dit, denoiser_params=dit_params,
+        conditioner=conditioner, conditioner_params=[t5_params],
+        vae=vae, vae_params=vae_params,
+        tokenizer_fn=_t5_tokenizer(root, 120),
+        latent_shape=(lat, lat, 4),
+        # Pixart trains on linear betas (reference train_flash_pixart.py)
+        scheduler="LCMScheduler",
+        scheduler_config=SchedulerConfig(
+            beta_schedule="linear", beta_start=0.0001, beta_end=0.02
+        ),
+        size_cond_fn=lambda n, h, w: {
+            "resolution_ar": np.tile([float(h), float(w), w / h], (n, 1)).astype(np.float32)
+        },
+        lora_name_map=None, lora_prefix="transformer",
+    )
+
+
+def _build_sd3(root, random_init, rng):
+    """SD3-medium: MMDiT + dual-CLIP SD3 conditioner (text_encoder_3=None
+    serving mode — the zero-T5-stream semantics diffusers uses; T5-XXL
+    stays off the serving footprint) + flow-match flash sampler."""
+    from flash_diffusion_tpu.models import MMDiT, sd3_medium_config, sd3_vae_config
+    from flash_diffusion_tpu.models.embedders import SD3Conditioner
+    from flash_diffusion_tpu.utils.hf import import_sd3_mmdit
+
+    mmdit_cfg = sd3_medium_config()
+    mmdit = MMDiT(mmdit_cfg, dtype=jnp.bfloat16)
+    vae_cfg = sd3_vae_config()
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
+    clip_l = ClipEmbedder(
+        ClipEmbedderConfig(
+            input_key="text", layer="hidden", layer_idx=-2,
+            always_return_pooled=True, use_projection=True,
+            text_embedder_config=dict(projection_dim=768),
+        )
+    )
+    clip_g = ClipEmbedder(
+        ClipEmbedderConfig(
+            input_key="text",
+            text_embedder_config=dict(
+                hidden_size=1280, intermediate_size=5120, num_layers=32,
+                num_heads=20, hidden_act="gelu", projection_dim=1280,
+            ),
+            layer="hidden", layer_idx=-2, always_return_pooled=True, use_projection=True,
+        )
+    )
+    conditioner = SD3Conditioner([clip_l, clip_g], t5_dim=4096)
+    lat = 128
+    dummy_cond = {
+        "cond": {
+            "crossattn": jnp.zeros((1, 154, 4096)),
+            "vector": jnp.zeros((1, 2048)),
+        }
+    }
+    mmdit_params = maybe_import(
+        os.path.join(root, "transformer/diffusion_pytorch_model.safetensors"),
+        import_sd3_mmdit, mmdit_cfg, random_init,
+        lambda: init_params_shape_only(
+            mmdit, jnp.zeros((1, lat, lat, 16)), jnp.zeros((1,), jnp.float32), dummy_cond
+        ),
+    )
+    vae_params = maybe_import(
+        os.path.join(root, "vae/diffusion_pytorch_model.safetensors"),
+        import_vae, vae_cfg, random_init,
+        lambda: init_params_shape_only(vae, jnp.zeros((1, 64, 64, 3))),
+    )
+    cparams = [
+        maybe_import(
+            os.path.join(root, path), import_clip_text, tower.encoder_config,
+            random_init,
+            lambda tower=tower: tower.init(rng, {"text_ids": jnp.zeros((1, 77), jnp.int32)}),
+        )
+        for path, tower in [
+            ("text_encoder/model.safetensors", clip_l),
+            ("text_encoder_2/model.safetensors", clip_g),
+        ]
+    ]
+    return dict(
+        denoiser=mmdit, denoiser_params=mmdit_params,
+        conditioner=conditioner, conditioner_params=cparams,
+        vae=vae, vae_params=vae_params,
+        tokenizer_fn=_clip_tokenizer(root),
+        latent_shape=(lat, lat, 16),
+        scheduler="FlashFlowMatchEulerDiscreteScheduler",
+        scheduler_config=SchedulerConfig(shift=3.0),
+        size_cond_fn=None,
+        lora_name_map=None, lora_prefix="transformer",
+    )
 
 
 def build_pipeline(
@@ -49,69 +318,32 @@ def build_pipeline(
     lora_scale: float = 1.0,
     seed: int = 0,
 ):
-    """Build a FlashPipeline for sd15/sdxl (shared by sample.py / serve.py)."""
+    """Build a FlashPipeline for any showcased family (sd15 / sdxl /
+    pixart / sd3) — shared by sample.py / serve.py."""
     root = weights_root
-
-    if model == "sd15":
-        unet_cfg, lat_hw, ctx = sd15_unet_config(), 64, 768
-    else:
-        unet_cfg, lat_hw, ctx = sdxl_unet_config(), 128, 2048
-    unet = UNet2DCondition(unet_cfg, dtype=jnp.bfloat16)
-    vae_cfg = sd_vae_config(scaling_factor=0.13025 if model == "sdxl" else 0.18215)
-    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
-    clip = ClipEmbedder(ClipEmbedderConfig(input_key="text", layer="last"))
-    conditioner = ConditionerWrapper([clip])
-
     rng = jax.random.PRNGKey(seed)
-    dummy = {
-        "sample": jnp.zeros((1, lat_hw, lat_hw, 4)),
-        "t": jnp.zeros((1,), jnp.int32),
-        "cond": {"cond": {"crossattn": jnp.zeros((1, 77, ctx))}},
-    }
-    unet_params = maybe_import(
-        os.path.join(root, "unet/diffusion_pytorch_model.safetensors"),
-        import_unet, unet_cfg, random_init,
-        lambda: init_params_shape_only(unet, dummy["sample"], dummy["t"], dummy["cond"]),
-    )
-    vae_params = maybe_import(
-        os.path.join(root, "vae/diffusion_pytorch_model.safetensors"),
-        import_vae, vae_cfg, random_init,
-        lambda: init_params_shape_only(vae, jnp.zeros((1, 64, 64, 3))),
-    )
-    clip_params = maybe_import(
-        os.path.join(root, "text_encoder/model.safetensors"),
-        import_clip_text, clip.encoder_config, random_init,
-        lambda: clip.init(rng, {"text_ids": jnp.zeros((1, 77), jnp.int32)}),
-    )
-
-    try:
-        tok_dir = os.path.join(root, "tokenizer")
-        if not os.path.isdir(tok_dir):
-            raise FileNotFoundError(tok_dir)  # avoid HF-hub network retries
-        from transformers import CLIPTokenizerFast
-
-        tok = CLIPTokenizerFast.from_pretrained(tok_dir)
-
-        def tokenizer_fn(texts):
-            out = tok(texts, padding="max_length", max_length=77, truncation=True, return_tensors="np")
-            return {"text_ids": out["input_ids"]}
-    except Exception:
-        print("WARNING: no local tokenizer — using zero token ids", file=sys.stderr)
-
-        def tokenizer_fn(texts):
-            return {"text_ids": np.zeros((len(texts), 77), np.int32)}
+    if model in ("sd15", "sdxl"):
+        parts = _build_sd_unet(model, root, random_init, rng)
+    elif model == "pixart":
+        parts = _build_pixart(root, random_init, rng)
+    elif model == "sd3":
+        parts = _build_sd3(root, random_init, rng)
+    else:
+        raise ValueError(f"unknown model {model!r}")
 
     pipe = FlashPipeline(
-        unet, unet_params,
-        conditioner=conditioner, conditioner_params=[clip_params],
-        vae=vae, vae_params=vae_params,
-        tokenizer_fn=tokenizer_fn,
-        latent_shape=(lat_hw, lat_hw, 4),
+        parts["denoiser"], parts["denoiser_params"],
+        conditioner=parts["conditioner"], conditioner_params=parts["conditioner_params"],
+        vae=parts["vae"], vae_params=parts["vae_params"],
+        tokenizer_fn=parts["tokenizer_fn"],
+        scheduler=parts["scheduler"], scheduler_config=parts["scheduler_config"],
+        latent_shape=parts["latent_shape"],
     )
+    pipe.size_cond_fn = parts["size_cond_fn"]
     # path → (tree, scaling) with this model's name map: serve.py's /loras
     # hot-swap endpoint loads through this
     pipe.lora_loader = lambda path: load_peft_safetensors(
-        path, unet_params, unet_lora_name_map(unet_cfg), prefix="unet"
+        path, parts["denoiser_params"], parts["lora_name_map"], prefix=parts["lora_prefix"]
     )
     if lora:
         tree, scaling = pipe.lora_loader(lora)
@@ -122,7 +354,7 @@ def build_pipeline(
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl"])
+    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl", "pixart", "sd3"])
     ap.add_argument("--weights-root", default="")
     ap.add_argument("--lora", default=None, help="PEFT safetensors adapter")
     ap.add_argument("--lora-scale", type=float, default=1.0)

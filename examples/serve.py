@@ -38,7 +38,7 @@ from flash_diffusion_tpu.serving import InferenceServer, ServingConfig
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl"])
+    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl", "pixart", "sd3"])
     ap.add_argument("--weights-root", default="")
     ap.add_argument("--lora", default=None)
     ap.add_argument("--lora-scale", type=float, default=1.0)

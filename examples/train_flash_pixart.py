@@ -35,7 +35,7 @@ from flash_diffusion_tpu.models.embedders import (
 )
 from flash_diffusion_tpu.schedulers import SchedulerConfig
 from flash_diffusion_tpu.trainer import CheckpointCallback, MetricLogger, TrainingConfig, TrainingPipeline
-from flash_diffusion_tpu.utils.hf import import_t5_encoder, import_vae
+from flash_diffusion_tpu.utils.hf import import_pixart_dit, import_t5_encoder, import_vae
 
 
 def main():
@@ -70,8 +70,7 @@ def main():
     }
     teacher_params = maybe_import(
         os.path.join(root, "transformer/diffusion_pytorch_model.safetensors"),
-        lambda sd, c: (_ for _ in ()).throw(NotImplementedError("Pixart HF import lands next round")),
-        dit_cfg, True,  # random-init until the DiT converter lands
+        import_pixart_dit, dit_cfg, args.random_init,
         lambda: init_params_shape_only(
             dit, jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,), jnp.int32), dummy_cond
         ),

@@ -66,6 +66,11 @@ class FlashPipeline:
         # optional: path -> (lora_tree, scaling) loader with the right
         # name-map baked in (builders set this; serving's /loras uses it)
         self.lora_loader: Optional[Callable[[str], Tuple[Any, float]]] = None
+        # optional: (n, height_px, width_px) -> extra batch keys for
+        # size-conditioned families (SDXL original/crop/target tuples,
+        # Pixart resolution_ar). Applied on the str-prompt path only — a
+        # dict batch is the caller's full specification.
+        self.size_cond_fn: Optional[Callable[[int, int, int], Dict[str, Any]]] = None
         self._adapters: Dict[str, Tuple[Any, float]] = {}
         self._generate_jit = {}
         self._quant_mode: Optional[str] = None
@@ -205,23 +210,6 @@ class FlashPipeline:
             batch_inputs["text"] = list(prompts)
             batch = len(prompts)
 
-        cond = uncond = None
-        if self.conditioner is not None:
-            cond = self.conditioner(
-                self.conditioner_params, batch_inputs, set_ucg_rate_zero=True
-            )
-            if guidance_scale not in (0.0, 1.0):
-                if negative_prompts is not None:
-                    neg = dict(self.tokenizer_fn(list(negative_prompts)))
-                    uncond = self.conditioner(
-                        self.conditioner_params, neg, set_ucg_rate_zero=True
-                    )
-                else:
-                    uncond = self.conditioner(
-                        self.conditioner_params, batch_inputs,
-                        ucg_keys=[c.input_key for c in self.conditioner.conditioners],
-                    )
-
         if (height is None) != (width is None):
             raise ValueError("pass both height and width, or neither")
         lshape = self.latent_shape
@@ -231,6 +219,33 @@ class FlashPipeline:
             if height % align or width % align:
                 raise ValueError(f"height/width must be multiples of {align}")
             lshape = (height // f, width // f, self.latent_shape[-1])
+        if self.size_cond_fn is not None and not isinstance(prompts, dict):
+            h_px = (height or self.latent_shape[0] * self.vae_scale_factor)
+            w_px = (width or self.latent_shape[1] * self.vae_scale_factor)
+            batch_inputs.update(self.size_cond_fn(batch, h_px, w_px))
+
+        cond = uncond = None
+        if self.conditioner is not None:
+            cond = self.conditioner(
+                self.conditioner_params, batch_inputs, set_ucg_rate_zero=True
+            )
+            if guidance_scale not in (0.0, 1.0):
+                if negative_prompts is not None:
+                    neg = dict(self.tokenizer_fn(list(negative_prompts)))
+                    if self.size_cond_fn is not None:
+                        # size conds accompany the uncond branch too (ucg
+                        # drops text, not geometry)
+                        h_px = height or self.latent_shape[0] * self.vae_scale_factor
+                        w_px = width or self.latent_shape[1] * self.vae_scale_factor
+                        neg.update(self.size_cond_fn(len(negative_prompts), h_px, w_px))
+                    uncond = self.conditioner(
+                        self.conditioner_params, neg, set_ucg_rate_zero=True
+                    )
+                else:
+                    uncond = self.conditioner(
+                        self.conditioner_params, batch_inputs,
+                        ucg_keys=[c.input_key for c in self.conditioner.conditioners],
+                    )
 
         if isinstance(seed, (list, tuple, np.ndarray)):
             if len(seed) != batch:
