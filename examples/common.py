@@ -192,91 +192,3 @@ def tokenize_batches(batches, tokenizers: Dict[str, callable]):
             if key in batch:
                 batch.update(tok(batch[key]))
         yield batch
-
-
-def build_sd_pipeline(model: str, weights_root: str = "", random_init: bool = False, seed: int = 0):
-    """SD1.5/SDXL FlashPipeline from local HF checkpoint folders (or
-    shape-init). Shared by sample.py and eval_coco.py."""
-    import numpy as np
-
-    from flash_diffusion_tpu import FlashPipeline
-    from flash_diffusion_tpu.models import (
-        AutoencoderKL,
-        UNet2DCondition,
-        sd15_unet_config,
-        sd_vae_config,
-        sdxl_unet_config,
-    )
-    from flash_diffusion_tpu.models.embedders import (
-        ClipEmbedder,
-        ClipEmbedderConfig,
-        ConditionerWrapper,
-    )
-    from flash_diffusion_tpu.utils.hf import import_clip_text, import_unet, import_vae
-
-    root = weights_root or ""
-    if model == "sd15":
-        unet_cfg, lat_hw, ctx = sd15_unet_config(), 64, 768
-    else:
-        unet_cfg, lat_hw, ctx = sdxl_unet_config(), 128, 2048
-    unet = UNet2DCondition(unet_cfg, dtype=jnp.bfloat16)
-    vae_cfg_kw = dict(scaling_factor=0.13025 if model == "sdxl" else 0.18215)
-    from flash_diffusion_tpu.models import sd_vae_config as _svc
-
-    vae_cfg = _svc(**vae_cfg_kw)
-    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
-    clip = ClipEmbedder(ClipEmbedderConfig(input_key="text", layer="last"))
-    conditioner = ConditionerWrapper([clip])
-
-    rng = jax.random.PRNGKey(seed)
-    dummy = {
-        "sample": jnp.zeros((1, lat_hw, lat_hw, 4)),
-        "t": jnp.zeros((1,), jnp.int32),
-        "cond": {"cond": {"crossattn": jnp.zeros((1, 77, ctx))}},
-    }
-    unet_params = maybe_import(
-        os.path.join(root, "unet/diffusion_pytorch_model.safetensors"),
-        import_unet, unet_cfg, random_init,
-        lambda: init_params_shape_only(unet, dummy["sample"], dummy["t"], dummy["cond"]),
-    )
-    vae_params = maybe_import(
-        os.path.join(root, "vae/diffusion_pytorch_model.safetensors"),
-        import_vae, vae_cfg, random_init,
-        lambda: init_params_shape_only(vae, jnp.zeros((1, 64, 64, 3))),
-    )
-    clip_params = maybe_import(
-        os.path.join(root, "text_encoder/model.safetensors"),
-        import_clip_text, clip.encoder_config, random_init,
-        lambda: clip.init(rng, {"text_ids": jnp.zeros((1, 77), jnp.int32)}),
-    )
-
-    try:
-        tok_dir = os.path.join(root, "tokenizer")
-        if not os.path.isdir(tok_dir):
-            raise FileNotFoundError(tok_dir)  # avoid HF-hub network retries
-        from transformers import CLIPTokenizerFast
-
-        tok = CLIPTokenizerFast.from_pretrained(tok_dir)
-
-        def tokenizer_fn(texts):
-            out = tok(
-                texts, padding="max_length", max_length=77, truncation=True,
-                return_tensors="np",
-            )
-            return {"text_ids": out["input_ids"]}
-    except Exception:
-        import numpy as np
-
-        logging.warning("no local tokenizer — using zero token ids")
-
-        def tokenizer_fn(texts):
-            return {"text_ids": np.zeros((len(texts), 77), np.int32)}
-
-    pipe = FlashPipeline(
-        unet, unet_params,
-        conditioner=conditioner, conditioner_params=[clip_params],
-        vae=vae, vae_params=vae_params,
-        tokenizer_fn=tokenizer_fn,
-        latent_shape=(lat_hw, lat_hw, 4),
-    )
-    return pipe, unet_cfg, unet_params, tokenizer_fn

@@ -21,7 +21,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-from common import build_sd_pipeline  # noqa: E402
+from sample import build_pipeline  # noqa: E402
 
 from flash_diffusion_tpu.data import (  # noqa: E402
     DataModuleConfig,
@@ -41,7 +41,7 @@ from flash_diffusion_tpu.eval import evaluate  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl"])
+    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl", "pixart", "sd3"])
     ap.add_argument("--weights-root", default="")
     ap.add_argument("--shards", nargs="+", required=True)
     ap.add_argument("--lora", default=None)
@@ -55,17 +55,11 @@ def main():
     ap.add_argument("--random-init", action="store_true")
     args = ap.parse_args()
 
-    pipe, unet_cfg, unet_params, tokenizer_fn = build_sd_pipeline(
-        args.model, args.weights_root, args.random_init
+    pipe = build_pipeline(
+        args.model, args.weights_root, args.random_init,
+        lora=args.lora, lora_scale=args.lora_scale,
     )
-    if args.lora:
-        from flash_diffusion_tpu.lora import load_peft_safetensors
-        from flash_diffusion_tpu.utils.hf import unet_lora_name_map
-
-        lora, scaling = load_peft_safetensors(
-            args.lora, unet_params, unet_lora_name_map(unet_cfg), prefix="unet"
-        )
-        pipe.load_lora(lora, scaling * args.lora_scale)
+    tokenizer_fn = pipe.tokenizer_fn
 
     res = args.resolution or (512 if args.model == "sd15" else 1024)
     chain = [
