@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--linger-ms", type=float, default=10.0)
     ap.add_argument(
+        "--prewarm", action="store_true",
+        help="compile+run every batch size before accepting traffic "
+        "(no first-request compile cliff; pairs well with --compile-cache)",
+    )
+    ap.add_argument(
         "--int8", action="store_true",
         help="W8A8 int8 serving mode (MXU int8 = 2x bf16 rate; see quant.py)",
     )
@@ -76,6 +81,7 @@ def main():
         max_batch=args.max_batch,
         linger_ms=args.linger_ms,
         batch_sizes=(1, min(4, args.max_batch), args.max_batch),
+        prewarm=args.prewarm,
     )
     server = InferenceServer(pipe, config)
     print(f"serving {args.model} on http://{args.host}:{args.port}")

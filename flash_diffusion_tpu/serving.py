@@ -52,6 +52,10 @@ class ServingConfig:
     # ≥ the coalesced batch, so the server only ever compiles len(sizes)
     # generate graphs per (steps, guidance, height, width) key.
     batch_sizes: tuple = (1, 4, 8)
+    # compile every batch size at the default (steps, guidance) before
+    # accepting traffic — first requests hit warm executables instead of a
+    # multi-minute compile cliff (XLA compile cache makes restarts cheap).
+    prewarm: bool = False
 
 
 @dataclass
@@ -302,6 +306,24 @@ class InferenceServer:
             "latency_p95_s": q(0.95),
         }
 
+    def prewarm(self) -> None:
+        """Compile the default-(steps, guidance) graph at every configured
+        batch size (and run it once, so the first real request pays neither
+        compile nor warm-up)."""
+        pipe = self.batcher.pipeline
+        for size in sorted(self.config.batch_sizes):
+            t0 = time.monotonic()
+            pipe.generate(
+                [""] * size,
+                num_inference_steps=self.config.default_steps,
+                guidance_scale=self.config.default_guidance,
+                seed=list(range(size)),
+            )
+            print(
+                f"prewarm: batch {size} ready in {time.monotonic() - t0:.1f}s",
+                flush=True,
+            )
+
     def healthz(self) -> Dict[str, Any]:
         import jax
 
@@ -376,6 +398,8 @@ class InferenceServer:
                     self.end_headers()
                     self.wfile.write(pngs[0])
 
+        if self.config.prewarm:
+            self.prewarm()
         self.batcher.start()
         self._httpd = ThreadingHTTPServer(
             (self.config.host, self.config.port), Handler

@@ -262,3 +262,14 @@ def test_lora_hot_swap_endpoint(tmp_path):
     assert out["error"] and out["code"] == 400
     out = server.handle_loras({"action": "load"})  # missing path
     assert out["error"] and out["code"] == 400
+
+
+def test_prewarm_compiles_all_batch_sizes():
+    pipe = _tiny_pipeline()
+    cfg = ServingConfig(batch_sizes=(1, 2), prewarm=True)
+    server = InferenceServer(pipe, cfg)
+    server.prewarm()
+    # both compile-shape graphs are cached for the default key
+    keys = set(pipe._generate_jit)
+    assert (cfg.default_steps, cfg.default_guidance, 1) in keys
+    assert (cfg.default_steps, cfg.default_guidance, 2) in keys
