@@ -463,6 +463,10 @@ def main():
     ap.add_argument("--source-size", type=int, default=1024, help="(--input-pipeline) synthetic jpeg source resolution")
     ap.add_argument("--no-draft", action="store_true", help="(--input-pipeline) disable DCT-scaled jpeg decode")
     ap.add_argument("--worker-backend", default="thread", choices=["thread", "process"])
+    ap.add_argument(
+        "--decoder", default="pil", choices=["pil", "native"],
+        help="(--input-pipeline) native = C++ fused decode+resize (GIL-free)",
+    )
     args = ap.parse_args()
     if args.input_pipeline:
         return bench_input_pipeline(args)
@@ -626,6 +630,30 @@ def bench_input_pipeline(args):
                 idx += 1
         shards.append(path)
 
+    if args.decoder == "native":
+        from flash_diffusion_tpu.data.native_decode import (
+            NativeDecodeMapper,
+            NativeDecodeMapperConfig,
+            is_available,
+        )
+
+        assert is_available(), "native decoder unavailable (g++/libjpeg missing)"
+        image_mapper = NativeDecodeMapper(
+            NativeDecodeMapperConfig(key="image", height=res, width=res)
+        )
+        tail = []
+    else:
+        image_mapper = ImageTransformMapper(
+            ImageTransformMapperConfig(
+                key="image",
+                transforms=[
+                    {"name": "Resize", "size": [res, res]},
+                    {"name": "CenterCrop", "size": [res, res]},
+                    {"name": "ToTensor"},
+                ],
+            )
+        )
+        tail = [RescaleMapper(RescaleMapperConfig(key="image"))]
     chain = [
         MapperWrapper(
             [
@@ -636,17 +664,8 @@ def bench_input_pipeline(args):
                     )
                 ),
                 KeyRenameMapper(KeyRenameMapperConfig(key_map={"jpg": "image", "caption": "text"})),
-                ImageTransformMapper(
-                    ImageTransformMapperConfig(
-                        key="image",
-                        transforms=[
-                            {"name": "Resize", "size": [res, res]},
-                            {"name": "CenterCrop", "size": [res, res]},
-                            {"name": "ToTensor"},
-                        ],
-                    )
-                ),
-                RescaleMapper(RescaleMapperConfig(key="image")),
+                image_mapper,
+                *tail,
             ]
         )
     ]
@@ -654,11 +673,15 @@ def bench_input_pipeline(args):
         shards_path_or_urls=shards, per_worker_batch_size=8,
         num_workers=args.num_workers, shuffle_buffer_size=16,
         worker_backend=args.worker_backend,
+        decoder="raw_image" if args.decoder == "native" else "pil",
         # DCT-scaled JPEG decode straight to >= res (only kicks in when the
         # synthetic source (--source-size) exceeds the train res)
         decode_draft_size=None if args.no_draft else res,
     )
-    pipe = DataPipeline(cfg, chain)
+    # explicit process indices: this bench is host-only, and letting
+    # DataPipeline ask jax.process_index() would INITIALIZE the TPU
+    # backend (a dead relay then hangs the whole bench)
+    pipe = DataPipeline(cfg, chain, process_index=0, process_count=1)
     # warmup one batch (thread spin-up), then time a full epoch
     it = pipe.batches(epoch=0)
     next(it)
@@ -677,6 +700,7 @@ def bench_input_pipeline(args):
                 "vs_baseline": 1.0,
                 "num_workers": args.num_workers,
                 "worker_backend": args.worker_backend,
+                "decoder": args.decoder,
                 "chips_fed_at_sdxl_rate": round(rate / device_rate, 1),
             }
         )

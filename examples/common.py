@@ -125,6 +125,16 @@ def build_data(cfg: Dict, extra_filters_mappers=()):
     # grouped per bucket (one XLA compile per bucket shape) and the mapper
     # emits REAL original/crop/target micro-cond tuples (see data/bucketing.py)
     bucketing = bool(cfg.get("ASPECT_BUCKETING", False))
+    # DECODER: native = C++ fused decode->resize->crop->normalize
+    # (data/native_decode.py; GIL-free, thread workers scale per core).
+    # Falls back to PIL when the toolchain/libjpeg is absent. Mutually
+    # exclusive with bucketing (the native path is fixed-shape).
+    native = cfg.get("DECODER", "pil") == "native" and not bucketing
+    if native:
+        from flash_diffusion_tpu.data.native_decode import is_available
+
+        if not is_available():
+            native = False
     if bucketing:
         from flash_diffusion_tpu.data import BucketAssignMapper, BucketAssignMapperConfig
 
@@ -136,6 +146,15 @@ def build_data(cfg: Dict, extra_filters_mappers=()):
                 max_aspect=cfg.get("BUCKET_MAX_ASPECT", 2.0),
                 crop=cfg.get("BUCKET_CROP", "center"),
             )
+        )
+    elif native:
+        from flash_diffusion_tpu.data.native_decode import (
+            NativeDecodeMapper,
+            NativeDecodeMapperConfig,
+        )
+
+        image_mapper = NativeDecodeMapper(
+            NativeDecodeMapperConfig(key="image", height=size, width=size)
         )
     chain = [
         KeyFilter(KeyFilterConfig(keys=["jpg", "json"])),
@@ -149,7 +168,7 @@ def build_data(cfg: Dict, extra_filters_mappers=()):
                 ),
                 KeyRenameMapper(KeyRenameMapperConfig(key_map={"jpg": "image", "caption": "text"})),
                 image_mapper
-                if bucketing
+                if (bucketing or native)
                 else ImageTransformMapper(
                     ImageTransformMapperConfig(
                         key="image",
@@ -160,7 +179,8 @@ def build_data(cfg: Dict, extra_filters_mappers=()):
                         ],
                     )
                 ),
-                RescaleMapper(RescaleMapperConfig(key="image")),
+                # native decode already emits [-1, 1]
+                *([] if native else [RescaleMapper(RescaleMapperConfig(key="image"))]),
             ]
         ),
         FilterOnCondition(
@@ -178,6 +198,7 @@ def build_data(cfg: Dict, extra_filters_mappers=()):
         # host decode on large camera sources; no-op when source <= res)
         decode_draft_size=cfg.get("DECODE_DRAFT_SIZE", size),
         aspect_bucketing=bucketing,
+        decoder="raw_image" if native else "pil",
     )
     return DataPipeline(data_cfg, chain)
 

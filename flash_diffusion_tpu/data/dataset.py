@@ -49,7 +49,10 @@ class DataModuleConfig(BaseConfig):
     worker_backend: str = "thread"  # thread | process
     shuffle_buffer_size: int = 100
     shuffle_shards: bool = True
-    decoder: str = "pil"  # pil | raw
+    # pil: decode to PIL objects; raw: bytes for everything; raw_image:
+    # bytes for images only (feed data/native_decode.NativeDecodeMapper —
+    # the GIL-free C++ decode+resize path), normal decode for json/txt
+    decoder: str = "pil"  # pil | raw | raw_image
     seed: int = 0
     drop_last: bool = True
     prefetch: int = 2
@@ -73,6 +76,10 @@ def _decode_member(
 ) -> Any:
     ext = name.rsplit(".", 1)[-1].lower()
     if decoder == "raw":
+        return data
+    if decoder == "raw_image" and ext in ("jpg", "jpeg", "png", "webp"):
+        # image members stay raw bytes for a downstream native decode
+        # mapper (data/native_decode.py); json/txt decode normally
         return data
     if ext in ("jpg", "jpeg", "png", "webp"):
         from PIL import Image

@@ -333,3 +333,61 @@ def test_aspect_bucketing_pipeline(tmp_path):
         }
     assert n_batches == 6  # 12 samples, batch 2, uniform per-aspect counts
     assert len(shapes) == 3  # tall, wide, square — never mixed in a batch
+
+
+def test_native_decoder_pipeline(tmp_path):
+    """⊕ native C++ data-plane (data/native/fastjpeg.cpp): raw_image decode
+    mode + fused decode/resize/crop/normalize mapper — one GIL-free call
+    per image. Skips where the toolchain/libjpeg is absent."""
+    from flash_diffusion_tpu.data.native_decode import (
+        NativeDecodeMapper,
+        NativeDecodeMapperConfig,
+        is_available,
+    )
+
+    if not is_available():
+        pytest.skip("native decoder unavailable")
+
+    path = str(tmp_path / "s.tar")
+    with tarfile.open(path, "w") as tf:
+        for i in range(6):
+            img = Image.fromarray(
+                (np.random.default_rng(i).random((80, 48, 3)) * 255).astype(np.uint8)
+            )
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            info = tarfile.TarInfo(f"{i:06d}.jpg")
+            info.size = len(buf.getvalue())
+            tf.addfile(info, io.BytesIO(buf.getvalue()))
+            meta = json.dumps({"caption": f"s{i}"}).encode()
+            info = tarfile.TarInfo(f"{i:06d}.json")
+            info.size = len(meta)
+            tf.addfile(info, io.BytesIO(meta))
+
+    chain = [
+        KeysFromJSONMapper(
+            KeysFromJSONMapperConfig(
+                key="json", keys_to_extract=["caption"], remove_original=True,
+                strict=False,
+            )
+        ),
+        KeyRenameMapper(KeyRenameMapperConfig(key_map={"jpg": "image", "caption": "text"})),
+        NativeDecodeMapper(
+            NativeDecodeMapperConfig(key="image", height=32, width=32, emit_micro_conds=True)
+        ),
+    ]
+    cfg = DataModuleConfig(
+        shards_path_or_urls=[path], per_worker_batch_size=3, num_workers=1,
+        shuffle_buffer_size=1, decoder="raw_image",
+    )
+    pipe = DataPipeline(cfg, chain, process_index=0, process_count=1)
+    n = 0
+    for b in pipe.batches(epoch=0):
+        n += 1
+        img = np.asarray(b["image"])
+        assert img.shape == (3, 32, 32, 3) and img.dtype == np.float32
+        assert -1.0 <= img.min() and img.max() <= 1.0
+        # json decoded normally in raw_image mode; captions survive
+        assert list(b["text"]) == [t for t in b["text"] if t.startswith("s")]
+        assert np.all(b["original_size_as_tuple"] == [80.0, 48.0])
+    assert n == 2
