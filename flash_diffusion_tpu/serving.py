@@ -88,6 +88,7 @@ class DynamicBatcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self.batches_dispatched = 0
         self.images_generated = 0
+        self.slots_dispatched = 0  # padded compile-size slots (occupancy denom)
 
     def start(self):
         self._thread.start()
@@ -193,6 +194,7 @@ class DynamicBatcher:
                     r.event.set()
                 self.batches_dispatched += 1
                 self.images_generated += n
+                self.slots_dispatched += size
             except Exception as e:  # surface errors to the callers, keep serving
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
@@ -297,14 +299,39 @@ class InferenceServer:
         with self._lat_lock:
             lats = sorted(self._latencies)
         q = lambda p: round(lats[min(len(lats) - 1, int(p * len(lats)))], 4) if lats else None
+        b = self.batcher
         return {
             "requests": self.requests,
             "errors": self.errors,
-            "images_generated": self.batcher.images_generated,
-            "batches_dispatched": self.batcher.batches_dispatched,
+            "images_generated": b.images_generated,
+            "batches_dispatched": b.batches_dispatched,
+            # real images / padded compile slots — low occupancy means the
+            # linger window or batch_sizes ladder needs tuning
+            "batch_occupancy": round(b.images_generated / b.slots_dispatched, 3)
+            if b.slots_dispatched
+            else None,
             "latency_p50_s": q(0.50),
             "latency_p95_s": q(0.95),
         }
+
+    def handle_profile(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """Capture an XLA device trace while live traffic runs (the only
+        trustworthy perf instrument on TPU): POST /profile
+        {"seconds": 5, "dir": "/tmp/serve_trace"} blocks for the window and
+        returns the trace directory (inspect with tools/trace_top.py)."""
+        import jax
+
+        seconds = float(body.get("seconds", 5.0))
+        out_dir = body.get("dir") or "/tmp/flash_serve_trace"
+        if seconds <= 0 or seconds > 120:
+            return {"error": "seconds must be in (0, 120]", "code": 400}
+        try:
+            jax.profiler.start_trace(out_dir)
+            time.sleep(seconds)
+            jax.profiler.stop_trace()
+        except Exception as e:
+            return {"error": f"{type(e).__name__}: {e}", "code": 500}
+        return {"trace_dir": out_dir, "seconds": seconds}
 
     def prewarm(self) -> None:
         """Compile the default-(steps, guidance) graph at every configured
@@ -361,7 +388,7 @@ class InferenceServer:
                     self._send_json({"error": "not found"}, 404)
 
             def do_POST(self):
-                if self.path not in ("/generate", "/loras"):
+                if self.path not in ("/generate", "/loras", "/profile"):
                     self._send_json({"error": "not found"}, 404)
                     return
                 try:
@@ -372,6 +399,10 @@ class InferenceServer:
                     return
                 if self.path == "/loras":
                     result = server.handle_loras(body)
+                    self._send_json(result, result.pop("code", 200) if "error" in result else 200)
+                    return
+                if self.path == "/profile":
+                    result = server.handle_profile(body)
                     self._send_json(result, result.pop("code", 200) if "error" in result else 200)
                     return
                 result = server.handle_generate(body)

@@ -273,3 +273,22 @@ def test_prewarm_compiles_all_batch_sizes():
     keys = set(pipe._generate_jit)
     assert (cfg.default_steps, cfg.default_guidance, 1) in keys
     assert (cfg.default_steps, cfg.default_guidance, 2) in keys
+
+
+def test_metrics_batch_occupancy_and_profile(tmp_path):
+    pipe = _tiny_pipeline()
+    cfg = ServingConfig(max_batch=4, linger_ms=5.0, batch_sizes=(2, 4))
+    server = InferenceServer(pipe, cfg)
+    server.batcher.start()
+    try:
+        out = server.handle_generate({"prompt": "fox", "steps": 2})
+        assert "error" not in out
+        m = server.metrics()
+        # 1 image in a padded size-2 dispatch → occupancy 0.5
+        assert m["batch_occupancy"] == 0.5
+        prof = server.handle_profile({"seconds": 0.2, "dir": str(tmp_path / "tr")})
+        assert prof.get("trace_dir") and (tmp_path / "tr").exists()
+        bad = server.handle_profile({"seconds": 0})
+        assert bad["error"] and bad["code"] == 400
+    finally:
+        server.batcher.stop()
