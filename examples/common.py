@@ -195,8 +195,14 @@ def build_data(cfg: Dict, extra_filters_mappers=()):
         num_workers=cfg.get("NUM_WORKERS", 2),
         shuffle_buffer_size=cfg.get("SHUFFLE_BUFFER_SIZE", 100),
         # JPEG DCT-scaled decode straight to >= train res (2-5x cheaper
-        # host decode on large camera sources; no-op when source <= res)
-        decode_draft_size=cfg.get("DECODE_DRAFT_SIZE", size),
+        # host decode on large camera sources; no-op when source <= res).
+        # With bucketing, draft must cover the LONGEST bucket dim
+        # (size·max_aspect) or wide/tall buckets would upscale from the
+        # drafted image.
+        decode_draft_size=cfg.get(
+            "DECODE_DRAFT_SIZE",
+            int(size * cfg.get("BUCKET_MAX_ASPECT", 2.0)) if bucketing else size,
+        ),
         aspect_bucketing=bucketing,
         decoder="raw_image" if native else "pil",
     )

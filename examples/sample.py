@@ -221,7 +221,8 @@ def _build_pixart(root, random_init, rng):
     )
     return dict(
         denoiser=dit, denoiser_params=dit_params,
-        conditioner=conditioner, conditioner_params=[t5_params],
+        # res_ar (RawVectorEmbedder) is param-less → {}
+        conditioner=conditioner, conditioner_params=[t5_params, {}],
         vae=vae, vae_params=vae_params,
         tokenizer_fn=_t5_tokenizer(root, 120),
         latent_shape=(lat, lat, 4),

@@ -121,7 +121,9 @@ def main():
         lora_scaling=lora_scaling(rank),
     )
 
-    frozen = {"teacher": teacher_params, "vae": vae_params, "conditioners": [t5_params]}
+    # [t5, res_ar]: the RawVectorEmbedder is param-less → {} (a short list
+    # would drop it entirely — ConditionerWrapper raises on length mismatch)
+    frozen = {"teacher": teacher_params, "vae": vae_params, "conditioners": [t5_params, {}]}
     train_cfg = TrainingConfig(
         learning_rates=[float(cfg["LR"]), float(cfg.get("LR_DISCRIMINATOR", cfg["LR"]))],
         checkpoint_every_n_steps=cfg.get("CKPT_EVERY_N_STEPS", 5000),

@@ -115,7 +115,9 @@ class BucketAssignMapper(BaseMapper):
     def __call__(self, sample: Dict[str, Any]) -> Dict[str, Any]:
         cfg = self.config
         img = _to_pil(sample[cfg.key])
-        w0, h0 = img.size
+        w0, h0 = img.size  # actual pixels (post draft-decode)
+        # pre-draft TRUE file geometry when the decoder recorded it
+        oh, ow = img.info.get("original_size", (h0, w0))
         idx = assign_bucket(self.buckets, h0, w0)
         th, tw = self.buckets[idx]
         scale = max(th / h0, tw / w0)
@@ -133,12 +135,11 @@ class BucketAssignMapper(BaseMapper):
         )
         out["__bucket__"] = idx
         if cfg.emit_micro_conds:
-            out["original_size_as_tuple"] = np.asarray([h0, w0], np.float32)
-            # crop offset in ORIGINAL-image pixel units (diffusers convention
-            # conditions on the pre-resize frame)
-            out["crop_coords_top_left"] = np.asarray(
-                [top / scale, left / scale], np.float32
-            )
+            out["original_size_as_tuple"] = np.asarray([oh, ow], np.float32)
+            # crop offset in the RESIZED frame — the convention SDXL was
+            # trained with (diffusers' train_text_to_image_sdxl computes
+            # (y1, x1) after Resize, before RandomCrop)
+            out["crop_coords_top_left"] = np.asarray([top, left], np.float32)
             out["target_size_as_tuple"] = np.asarray([th, tw], np.float32)
         return out
 
@@ -163,7 +164,13 @@ def bucket_batches(
     pending: Dict[int, List[Dict[str, Any]]] = {}
     n_pending = 0
     for s in samples:
-        b = int(s.pop("__bucket__", 0))
+        if "__bucket__" not in s:
+            raise ValueError(
+                "bucket_batches needs __bucket__-tagged samples — put a "
+                "BucketAssignMapper in the chain when aspect_bucketing=True "
+                "(defaulting silently would mix shapes and crash in collation)"
+            )
+        b = int(s.pop("__bucket__"))
         pending.setdefault(b, []).append(s)
         n_pending += 1
         if len(pending[b]) == batch_size:

@@ -77,17 +77,25 @@ def _decode_member(
     ext = name.rsplit(".", 1)[-1].lower()
     if decoder == "raw":
         return data
-    if decoder == "raw_image" and ext in ("jpg", "jpeg", "png", "webp"):
-        # image members stay raw bytes for a downstream native decode
-        # mapper (data/native_decode.py); json/txt decode normally
+    if decoder == "raw_image" and ext in ("jpg", "jpeg"):
+        # JPEG members stay raw bytes for the downstream native decoder
+        # (data/native_decode.py — libjpeg only); png/webp fall through to
+        # the PIL decode below (the native mapper cover-resizes PIL images
+        # too), json/txt decode normally
         return data
     if ext in ("jpg", "jpeg", "png", "webp"):
         from PIL import Image
 
         img = Image.open(io.BytesIO(data))
+        orig_hw = (img.height, img.width)  # pre-draft TRUE size
         if draft_size is not None and img.format == "JPEG":
             img.draft("RGB", (draft_size, draft_size))
-        return img.convert("RGB")
+        img = img.convert("RGB")
+        # the draft decode shrinks the pixels; downstream consumers that
+        # condition on the real file geometry (BucketAssignMapper's SDXL
+        # original_size tuple) read this instead of the drafted dims
+        img.info["original_size"] = orig_hw
+        return img
     if ext == "json":
         return json.loads(data)
     if ext in ("txt", "text", "caption"):

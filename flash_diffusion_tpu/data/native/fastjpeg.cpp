@@ -21,6 +21,7 @@
 
 #include <csetjmp>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -35,6 +36,11 @@ void on_error(j_common_ptr cinfo) {
   ErrMgr* e = reinterpret_cast<ErrMgr*>(cinfo->err);
   longjmp(e->jump, 1);
 }
+
+// warnings (e.g. "Premature end of JPEG file" on truncated-but-decodable
+// members) stay silent — warn_and_continue pipelines over dirty datasets
+// would otherwise spam stderr per image
+void on_message(j_common_ptr) {}
 
 // Horizontal bilinear pass for ONE source row: uint8 (w x 3) -> float
 // (tw x 3) using precomputed left indices + weights. Plain indexed loops
@@ -66,7 +72,17 @@ int fj_decode_to_tensor(const uint8_t* data, size_t len, int th, int tw,
   ErrMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
   err.pub.error_exit = on_error;
+  err.pub.output_message = on_message;
+  // Heap buffers via volatile raw pointers: longjmp back here would SKIP
+  // C++ destructors of anything constructed after setjmp (leaking the
+  // decoded image on every corrupt JPEG under warn_and_continue), and
+  // non-volatile locals modified after setjmp are indeterminate at the
+  // jump target. volatile pointers survive and get freed explicitly.
+  uint8_t* volatile buf = nullptr;
+  uint8_t* volatile rowmem = nullptr;
   if (setjmp(err.jump)) {
+    std::free(const_cast<uint8_t*>(buf));
+    std::free(const_cast<uint8_t*>(rowmem));
     jpeg_destroy_decompress(&cinfo);
     return -1;
   }
@@ -104,22 +120,35 @@ int fj_decode_to_tensor(const uint8_t* data, size_t len, int th, int tw,
       return -3;
     }
   }
-  std::vector<uint8_t> buf(static_cast<size_t>(h) * w * 3);
-  std::vector<uint8_t> row(static_cast<size_t>(w) * comps);
-  JSAMPROW rowp = row.data();
-  for (int y = 0; y < h; ++y) {
-    jpeg_read_scanlines(&cinfo, &rowp, 1);
-    uint8_t* dst = buf.data() + static_cast<size_t>(y) * w * 3;
-    if (comps == 3) {
-      std::memcpy(dst, row.data(), static_cast<size_t>(w) * 3);
-    } else {
-      for (int x = 0; x < w; ++x) {
-        dst[x * 3] = dst[x * 3 + 1] = dst[x * 3 + 2] = row[x];
+  buf = static_cast<uint8_t*>(std::malloc(static_cast<size_t>(h) * w * 3));
+  rowmem = static_cast<uint8_t*>(std::malloc(static_cast<size_t>(w) * comps));
+  if (!buf || !rowmem) {
+    std::free(const_cast<uint8_t*>(buf));
+    std::free(const_cast<uint8_t*>(rowmem));
+    jpeg_destroy_decompress(&cinfo);
+    return -4;
+  }
+  {
+    uint8_t* bufp = const_cast<uint8_t*>(buf);
+    uint8_t* rowq = const_cast<uint8_t*>(rowmem);
+    JSAMPROW rowp = rowq;
+    for (int y = 0; y < h; ++y) {
+      jpeg_read_scanlines(&cinfo, &rowp, 1);
+      uint8_t* dst = bufp + static_cast<size_t>(y) * w * 3;
+      if (comps == 3) {
+        std::memcpy(dst, rowq, static_cast<size_t>(w) * 3);
+      } else {
+        for (int x = 0; x < w; ++x) {
+          dst[x * 3] = dst[x * 3 + 1] = dst[x * 3 + 2] = rowq[x];
+        }
       }
     }
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  std::free(const_cast<uint8_t*>(rowmem));
+  rowmem = nullptr;
+  const uint8_t* bufr = const_cast<const uint8_t*>(buf);  // no jpeg calls follow
 
   // cover-resize scale, then center-crop offsets in SOURCE coordinates.
   // Separable bilinear: precomputed x taps, one horizontal pass per needed
@@ -162,13 +191,13 @@ int fj_decode_to_tensor(const uint8_t* data, size_t len, int th, int tw,
         ya = y0;
         yb = -1;
       } else {
-        hresample_row(buf.data() + static_cast<size_t>(y0) * w * 3, w, tw,
+        hresample_row(bufr + static_cast<size_t>(y0) * w * 3, w, tw,
                       x0s.data(), fxs.data(), rowa.data());
         ya = y0;
       }
     }
     if (yb != y1) {
-      hresample_row(buf.data() + static_cast<size_t>(y1) * w * 3, w, tw,
+      hresample_row(bufr + static_cast<size_t>(y1) * w * 3, w, tw,
                     x0s.data(), fxs.data(), rowb.data());
       yb = y1;
     }
@@ -179,6 +208,7 @@ int fj_decode_to_tensor(const uint8_t* data, size_t len, int th, int tw,
       orow[i] = (gy * a[i] + fy * b[i]) * k - 1.0f;
     }
   }
+  std::free(const_cast<uint8_t*>(buf));
   return 0;
 }
 

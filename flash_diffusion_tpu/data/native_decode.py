@@ -118,16 +118,37 @@ class NativeDecodeMapperConfig(BaseMapperConfig):
 
 class NativeDecodeMapper(BaseMapper):
     """Raw JPEG bytes → float32 [-1,1] (h, w, 3) in ONE native call
-    (replaces decode + Resize + CenterCrop + ToTensor + Rescale)."""
+    (replaces decode + Resize + CenterCrop + ToTensor + Rescale).
+
+    Non-JPEG images (png/webp — already PIL-decoded by the pipeline's
+    ``raw_image`` mode, which only keeps jpg bytes raw) take an equivalent
+    PIL cover-resize + center-crop path instead of being dropped."""
+
+    def _pil_fallback(self, img):
+        cfg = self.config
+        img = img.convert("RGB") if img.mode != "RGB" else img
+        w0, h0 = img.size
+        from PIL import Image
+
+        s = max(cfg.height / h0, cfg.width / w0)
+        rw, rh = max(cfg.width, round(w0 * s)), max(cfg.height, round(h0 * s))
+        img = img.resize((rw, rh), Image.BILINEAR)
+        left, top = (rw - cfg.width) // 2, (rh - cfg.height) // 2
+        img = img.crop((left, top, left + cfg.width, top + cfg.height))
+        return np.asarray(img, np.float32) / 127.5 - 1.0, (h0, w0)
 
     def __call__(self, sample):
         cfg = self.config
         data = sample[cfg.key]
-        if not isinstance(data, (bytes, bytearray)):
+        if isinstance(data, (bytes, bytearray)):
+            arr, (h0, w0) = decode_to_tensor(bytes(data), cfg.height, cfg.width)
+        elif hasattr(data, "size") and hasattr(data, "crop"):  # PIL image
+            arr, (h0, w0) = self._pil_fallback(data)
+        else:
             raise TypeError(
-                f"{cfg.key} must be raw bytes (set decoder='raw'), got {type(data)}"
+                f"{cfg.key} must be raw jpeg bytes or a PIL image "
+                f"(set decoder='raw_image'), got {type(data)}"
             )
-        arr, (h0, w0) = decode_to_tensor(bytes(data), cfg.height, cfg.width)
         out = dict(sample)
         out[cfg.output_key or cfg.key] = arr
         if cfg.emit_micro_conds:

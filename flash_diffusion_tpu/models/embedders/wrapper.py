@@ -42,6 +42,14 @@ class ConditionerWrapper:
         set_ucg_rate_zero: bool = False,
     ) -> Dict[str, Dict[str, jnp.ndarray]]:
         ucg_keys = ucg_keys or []
+        if len(params) != len(self.conditioners):
+            # zip would silently TRUNCATE: a short params list drops whole
+            # conditioners (e.g. Pixart's resolution/aspect vector) with no
+            # error and subtly wrong outputs. Param-less conditioners take {}.
+            raise ValueError(
+                f"got {len(params)} param entries for {len(self.conditioners)} "
+                "conditioners (pass {} for param-less conditioners)"
+            )
         out: Dict[str, jnp.ndarray] = {}
         for p, cond in zip(params, self.conditioners):
             if cond.input_key in ucg_keys:

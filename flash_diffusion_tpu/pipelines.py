@@ -83,22 +83,26 @@ class FlashPipeline:
         return {n: s for n, (_, s) in self._adapters.items()}
 
     def load_lora(self, lora_tree, scaling: float = 1.0, name: str = "default"):
-        """Attach a LoRA adapter (e.g. from lora.load_peft_safetensors)."""
-        self._adapters[name] = (lora_tree, scaling)
+        """Attach a LoRA adapter (e.g. from lora.load_peft_safetensors).
+
+        Adapter mutations REBIND ``_adapters`` to a fresh dict (never mutate
+        in place): concurrent readers (a serving dispatch mid-_refresh, a
+        parallel /loras call) always iterate a consistent snapshot."""
+        self._adapters = {**self._adapters, name: (lora_tree, scaling)}
         self._refresh()
 
     def set_adapter_scale(self, name: str, scaling: float):
         tree, _ = self._adapters[name]
-        self._adapters[name] = (tree, scaling)
+        self._adapters = {**self._adapters, name: (tree, scaling)}
         self._refresh()
 
     def unload_lora(self, name: str = "default"):
-        self._adapters.pop(name, None)
+        self._adapters = {k: v for k, v in self._adapters.items() if k != name}
         self._refresh()
 
     def _refresh(self):
         params = self.base_params
-        for tree, scale in self._adapters.values():
+        for tree, scale in list(self._adapters.values()):
             params = merge_lora(params, tree, scale)
         if self._quant_mode == "int8":
             from .quant import quantize_dense
@@ -216,8 +220,8 @@ class FlashPipeline:
         if height is not None:
             f = self.vae_scale_factor
             align = 8 * f  # latent dims divisible by 8 (UNet 3-level / patch)
-            if height % align or width % align:
-                raise ValueError(f"height/width must be multiples of {align}")
+            if height <= 0 or width <= 0 or height % align or width % align:
+                raise ValueError(f"height/width must be positive multiples of {align}")
             lshape = (height // f, width // f, self.latent_shape[-1])
         if self.size_cond_fn is not None and not isinstance(prompts, dict):
             h_px = (height or self.latent_shape[0] * self.vae_scale_factor)
@@ -262,8 +266,10 @@ class FlashPipeline:
                 latents = jax.random.normal(kz, (batch, *lshape))
 
         key = (num_inference_steps, guidance_scale, batch)
-        if key not in self._generate_jit:
-            self._generate_jit[key] = self._build_generate(*key)
-        return self._generate_jit[key](
-            self.params, self.vae_params, cond, uncond, latents, rng
-        )
+        # single dict lookup + local ref: a concurrent _refresh() (LoRA
+        # hot-swap from another thread) clears the cache between ops, and a
+        # check-then-index would KeyError mid-dispatch
+        fn = self._generate_jit.get(key)
+        if fn is None:
+            fn = self._generate_jit[key] = self._build_generate(*key)
+        return fn(self.params, self.vae_params, cond, uncond, latents, rng)

@@ -118,8 +118,12 @@ class DynamicBatcher:
     @staticmethod
     def _key(r: _Request):
         # only same-shape work batches together: steps/guidance change the
-        # graph, height/width change every tensor shape
-        return (r.steps, r.guidance, r.height, r.width)
+        # graph, height/width change every tensor shape. has-negative is in
+        # the key because the two uncond modes differ (ucg zeroed embedding
+        # vs encoded negative text) — coercing a no-negative request to ""
+        # inside a negative-bearing batch would change its image depending
+        # on what else was in flight, breaking per-request determinism.
+        return (r.steps, r.guidance, r.height, r.width, bool(r.negative))
 
     # ---- worker ----
     def _take_batch(self) -> List[_Request]:
@@ -238,6 +242,8 @@ class InferenceServer:
             return {"error": "pass both height and width, or neither", "code": 400}
         if height is not None:
             height, width = int(height), int(width)
+            if height <= 0 or width <= 0 or height % 64 or width % 64:
+                return {"error": "height/width must be positive multiples of 64", "code": 400}
         negative = body.get("negative_prompt")
         t0 = time.monotonic()
         self.requests += 1

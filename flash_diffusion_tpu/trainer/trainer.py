@@ -223,11 +223,14 @@ class TrainingPipeline:
             # "d"-phase steps leave the lora tree untouched — decaying the EMA
             # there would halve its time constant vs the simultaneous mode.
             # Same logic under gradient accumulation: only decay on boundary
-            # micro-steps (where MultiSteps actually applied an update).
+            # micro-steps, read from the MultiSteps counter itself
+            # (mini_step wraps to 0 right after an application) — a global
+            # step-parity test would never fire in alternating mode, where
+            # MultiSteps counts only this optimizer's own calls.
             if ema_decay and phase != "d" and jax.tree_util.tree_leaves(state.ema):
                 new_ema = update_ema(state.ema, lora, ema_decay)
                 if accum > 1:
-                    boundary = (state.step + 1) % accum == 0
+                    boundary = getattr(opt_g, "mini_step", 0) == 0
                     new_ema = jax.tree_util.tree_map(
                         lambda e, n: jnp.where(boundary, n, e), state.ema, new_ema
                     )

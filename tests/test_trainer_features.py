@@ -357,3 +357,18 @@ def test_gradient_accumulation_applies_on_boundaries_only():
     assert any(not np.array_equal(e0[k], e2[k]) for k in e0)
     for leaf in jax.tree_util.tree_leaves(state2.lora):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_gradient_accumulation_ema_tracks_in_alternating_mode():
+    """The EMA boundary must follow the GENERATOR's MultiSteps counter, not
+    global step parity — in alternating mode g-phase runs on even steps
+    only, where (step+1) % accum would never fire and the EMA would stay
+    frozen at its initial value for the whole run."""
+    pipe, batch = _build("alternating", ema_decay=0.5, gradient_accumulation_steps=2)
+    state = pipe.init_state()
+    e0 = _flat(jax.device_get(state.ema))
+    for i in range(8):  # g,d,g,d,... → 4 g-calls → 2 generator applications
+        phase = "g" if i % 2 == 0 else "d"
+        state, _ = pipe.step_fn_for_stage(0, phase)(state, pipe.frozen, dict(batch))
+    e1 = _flat(state.ema)
+    assert any(not np.array_equal(e0[k], e1[k]) for k in e0), "EMA never decayed"
