@@ -10,6 +10,7 @@ the Pallas kernel in ops.attention; normalization statistics are fp32.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
@@ -378,10 +379,11 @@ class GEGLUFeedForward(nn.Module):
         # diffusers GEGLU gates with EXACT gelu (F.gelu default), not tanh;
         # see _gate_gelu for the bf16 fast path
         x = x * _gate_gelu(gate)
-        # down_proj=True (Pallas GEMM) pending an on-chip A/B — the XLA
-        # emitter for this shape family measured 46 TF/s vs 96 for the
-        # up-projection (see ops/gemm.py)
-        return LoraDense(dim, dtype=self.dtype, name="proj_out")(x)
+        # Pallas GEMM on the down projection (env-gated for on-chip A/B) —
+        # the XLA emitter for this shape family measured 46 TF/s vs 96 for
+        # the up-projection (see ops/gemm.py)
+        dp = os.environ.get("FLASH_TPU_FFN_DOWN_GEMM", "0") == "1"
+        return LoraDense(dim, dtype=self.dtype, down_proj=dp, name="proj_out")(x)
 
 
 class BasicTransformerBlock(nn.Module):

@@ -294,9 +294,12 @@ _PACKED_VMEM_BUDGET = 10.5 * 2**20
 
 
 def _packed_vmem(bq: int, bkv: int, hd: int, itemsize: int, oneshot: bool) -> int:
+    # Pipelined in/out blocks are double-buffered by Mosaic (x2 on the io
+    # terms) — measured on-chip: the streaming kernel's real stack at
+    # (512, 1024, hd=640) is 17.78M where the single-buffer model said 9.9M.
+    io = 2 * (2 * bq * hd * itemsize + 2 * bkv * hd * itemsize)  # q+o, k+v
     return (
-        2 * bq * hd * itemsize  # q + o
-        + 2 * bkv * hd * itemsize  # k + v
+        io
         + (0 if oneshot else 4 * bq * hd)  # fp32 acc carry
         + 2 * 4 * bq * bkv  # fp32 score + prob transients
         + (0 if oneshot else 2 * 4 * bq * 128)  # m/l scratch

@@ -55,7 +55,7 @@ def main():
         @jax.jit
         def fwd(vp, z):
             def body(_, zi):
-                return None, vae.apply(vp, zi[None], method="decode")[0]
+                return None, vae.apply(vp, zi[None], method="decode_latents")[0]
             return jax.lax.scan(body, None, z)[1]
 
         call_args = (vp, latents.astype(jnp.bfloat16))
