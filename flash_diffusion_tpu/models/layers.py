@@ -281,6 +281,19 @@ class _FoldedUpConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        # DEFAULT OFF: the r3 on-chip A/B showed the fold is a net LOSS in the
+        # scanned VAE decode (b8 decode 0.73 s -> 0.91 s) and neutral on the
+        # batch-8 denoiser — the 4×C-wide low-res conv lowers worse than the
+        # broadcast chains it removes. Opt in with FLASH_TPU_FOLDED_UPSAMPLE=1.
+        if os.environ.get("FLASH_TPU_FOLDED_UPSAMPLE", "0") != "1":
+            # default path: plain nearest-×2 + high-res conv
+            x = nearest_upsample_2x(x)
+            xk, kernel2, bias2 = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+            y = jax.lax.conv_general_dilated(
+                xk, kernel2, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias2
         if kernel.dtype == jnp.int8:
             # int8 trees (quant.py): the tap fold needs float weights, so
             # this op dequantizes on the fly — exactness over int8 speed

@@ -90,6 +90,14 @@ def _gn_stats_pallas(x2: jnp.ndarray, b: int):
 
 
 def _gn_eligible(x: jnp.ndarray, num_groups: int) -> bool:
+    # OPT-IN ONLY (FLASH_TPU_GN_PALLAS=1). The r3 on-chip A/B showed this
+    # path is a large NET LOSS in the scanned VAE decode (batch-8 decode
+    # 0.88 s -> 3.13 s): splitting stats into a separate pallas_call forces
+    # an extra full HBM read of x AND breaks XLA's normalize-into-conv
+    # producer fusion, which outweighs the 72 GB/s stats reduce it fixed.
+    # Kept (with interpret-mode numerics/VJP tests) as a building block.
+    if os.environ.get("FLASH_TPU_GN_PALLAS", "0") != "1":
+        return False
     if _DISABLE_PALLAS:
         return False
     if not _INTERPRET and jax.default_backend() in ("cpu",):

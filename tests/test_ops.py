@@ -179,11 +179,13 @@ def test_layer_norm_ineligible_shapes_fall_back():
     assert np.allclose(np.array(out), _ln_ref(x), atol=1e-4)
 
 
-def test_group_norm_pallas_stats_path():
+def test_group_norm_pallas_stats_path(monkeypatch):
     """Batch-1 large-spatial GN dispatches to the Pallas stats kernel
-    (interpret mode under conftest); numerics + closed-form VJP vs the jnp
-    fallback."""
+    (interpret mode under conftest; opt-in — the path lost its on-chip A/B
+    and defaults off); numerics + closed-form VJP vs the jnp fallback."""
     from flash_diffusion_tpu.ops import norms
+
+    monkeypatch.setenv("FLASH_TPU_GN_PALLAS", "1")
 
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 128)) * 2 + 0.3
     g = 32
@@ -249,12 +251,14 @@ def test_down_proj_gemm_matches_xla():
     assert not gemm.gemm_eligible(1024, 2048, 4096) # output too wide
 
 
-def test_folded_upsample_conv_exact():
+def test_folded_upsample_conv_exact(monkeypatch):
     """_FoldedUpConv (low-res sub-pixel fold) == nearest-×2 + 3×3 conv with
-    the SAME kernel params, to float tolerance, including borders."""
+    the SAME kernel params, to float tolerance, including borders.
+    Opt-in (the fold lost its on-chip decode A/B and defaults off)."""
     import flax.linen as nn
     from flash_diffusion_tpu.models.layers import _FoldedUpConv, nearest_upsample_2x
 
+    monkeypatch.setenv("FLASH_TPU_FOLDED_UPSAMPLE", "1")
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (2, 5, 7, 6))
     folded = _FoldedUpConv(4)
