@@ -93,13 +93,21 @@ def test_dynamic_batcher_coalesces_and_is_seed_deterministic():
             assert r.error is None, r.error
             assert np.all(np.isfinite(r.image))
         assert batcher.images_generated == 5
-        # seed 7 "cat" must be identical batched or alone (per-request key
-        # chains drive the latent AND every stochastic scheduler step)
-        assert np.allclose(np.asarray(reqs[0].image), np.asarray(lone.image), atol=1e-5)
+        # seed 7 "cat" must match batched or alone (per-request key chains
+        # drive the latent AND every stochastic scheduler step). Tolerance is
+        # scale-aware: batch-3 and batch-1 dispatches are DIFFERENT compiled
+        # programs, so reduction orders legitimately differ at ~1e-6 relative;
+        # a wrong noise chain would produce a completely different image.
+        def same_image(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1.0)
+            return np.allclose(a, b, atol=1e-4 * scale, rtol=1e-4)
+
+        assert same_image(reqs[0].image, lone.image)
         # the NON-zero slot must match its solo run too — this is what a
         # single batch-shaped noise chain gets wrong (slot j's per-step
         # noise would depend on its offset in the padded batch)
-        assert np.allclose(np.asarray(reqs[1].image), np.asarray(lone_dog.image), atol=1e-5)
+        assert same_image(reqs[1].image, lone_dog.image)
         # different seeds differ
         assert not np.allclose(np.asarray(reqs[0].image), np.asarray(reqs[1].image))
     finally:
