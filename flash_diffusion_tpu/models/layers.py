@@ -332,6 +332,34 @@ class Upsample2D(nn.Module):
         return _FoldedUpConv(self.out_channels, dtype=self.dtype, name="conv")(x)
 
 
+class _ProjParams(nn.Module):
+    """Param holder matching ``LoraDense``'s tree exactly (same names, shapes,
+    initializers → identical init RNG draws and checkpoint border) without
+    computing the projection — used by the fused-QKV path so three sibling
+    projections can share ONE activation read (see ``Attention``)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, cin):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (cin, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        ab = None
+        if not self.is_initializing() and self.has_variable("lora", "kernel"):
+            ab = self.get_variable("lora", "kernel")
+        scale = None
+        if kernel.dtype == jnp.int8:
+            scale = self.get_variable("params", "kernel_scale")
+        return kernel, bias, ab, scale
+
+
 class Attention(nn.Module):
     """Multi-head attention (self or cross) over token sequences [B, S, C]."""
 
@@ -346,10 +374,41 @@ class Attention(nn.Module):
         context = x if context is None else context
         inner = (self.head_dim or x.shape[-1] // self.num_heads) * self.num_heads
         out_dim = self.out_dim or x.shape[-1]
-        dense = lambda name: LoraDense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name=name)
-        q = dense("to_q")(x)
-        k = dense("to_k")(context)
-        v = dense("to_v")(context)
+        # FLASH_TPU_FUSED_QKV=1 (self-attention only): one [C, 3·inner] GEMM
+        # instead of three — the activation ([B, S, C], the dominant operand
+        # at self-attn shapes) streams from HBM once instead of three times.
+        # Param tree is unchanged (_ProjParams mirrors LoraDense), so
+        # checkpoints/LoRA/exports are unaffected by the gate.
+        if os.environ.get("FLASH_TPU_FUSED_QKV", "0") == "1" and context is x:
+            parts = [
+                _ProjParams(inner, self.qkv_bias, name=n)(x.shape[-1])
+                for n in ("to_q", "to_k", "to_v")
+            ]
+            kernels = []
+            for kern, _b, _ab, scale in parts:
+                if kern.dtype == jnp.int8:  # dequantize int8 trees on the fly
+                    kern = kern.astype(jnp.float32) * scale
+                kernels.append(kern)
+            xq, *kernels = nn.dtypes.promote_dtype(x, *kernels, dtype=self.dtype)
+            qkv = xq @ jnp.concatenate(kernels, axis=-1)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            outs = []
+            for proj, (_k, b, ab, _s) in zip((q, k, v), parts):
+                if ab is not None:
+                    a_ = ab["a"].astype(proj.dtype)
+                    b_ = ab["b"].astype(proj.dtype)
+                    proj = proj + (xq @ a_) @ b_
+                if b is not None:
+                    proj = proj + b.astype(proj.dtype)
+                outs.append(proj)
+            q, k, v = outs
+        else:
+            dense = lambda name: LoraDense(
+                inner, use_bias=self.qkv_bias, dtype=self.dtype, name=name
+            )
+            q = dense("to_q")(x)
+            k = dense("to_k")(context)
+            v = dense("to_v")(context)
         b, sq, _ = q.shape
         h = self.num_heads
         d = inner // h
