@@ -73,6 +73,7 @@ class FlashPipeline:
         self.size_cond_fn: Optional[Callable[[int, int, int], Dict[str, Any]]] = None
         self._adapters: Dict[str, Tuple[Any, float]] = {}
         self._generate_jit = {}
+        self._params_sig = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), params)
         self._quant_mode: Optional[str] = None
         self._quant_min_dim = 256
 
@@ -110,8 +111,15 @@ class FlashPipeline:
             params, n = quantize_dense(params, min_dim=self._quant_min_dim)
             if n == 0:
                 raise ValueError("int8 quantization matched no Dense kernels")
+        # The warm jitted graphs take params as an ARGUMENT, so a plain LoRA
+        # merge (same leaf shapes/dtypes) swaps in without any retrace — the
+        # serving /loras contract. Only a signature change (int8 quantize
+        # rewrites leaf dtypes and the tree structure) invalidates them.
+        sig = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), params)
+        if self._params_sig is not None and sig != self._params_sig:
+            self._generate_jit.clear()
+        self._params_sig = sig
         self.params = params
-        self._generate_jit.clear()
 
     def quantize(self, mode: str = "int8", min_dim: int = 256):
         """Opt-in W8A8 int8 serving mode (see quant.py). LoRA adapters merge

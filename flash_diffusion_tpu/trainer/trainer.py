@@ -421,9 +421,13 @@ class TrainingPipeline:
         step0 = int(state.step)
         if self._text_offload and self._cond_fn is not None:
             data = self._cond_bursts(data, step0)
-        prev_stage = self.model.stage_for_iteration(max(int(state.step), 1))
+        prev_stage = self.model.stage_for_iteration(max(step0, 1))
         for i, batch in enumerate(data):
-            step = int(state.step)
+            # host-side step counter: step_fn increments state.step by
+            # exactly 1, so step0 + i is exact and avoids the per-step
+            # device sync an int(state.step) pull would force (it blocks
+            # async dispatch — the device would drain between steps)
+            step = step0 + i
             if step >= max_steps:
                 break
             stage = self.model.stage_for_iteration(step + 1)

@@ -272,6 +272,44 @@ def test_lora_hot_swap_endpoint(tmp_path):
     assert out["error"] and out["code"] == 400
 
 
+def test_lora_hot_swap_does_not_retrace():
+    """A LoRA load/rescale/unload must reuse the warm jitted graphs (they
+    take params as arguments; same leaf shapes/dtypes ⇒ same trace) — the
+    serving /loras no-recompile contract. Only a signature change
+    (int8 quantize) may clear the cache."""
+    from flash_diffusion_tpu.lora import init_lora
+
+    pipe = _tiny_pipeline()
+    builds = {"n": 0}
+    orig_build = pipe._build_generate
+
+    def counting_build(*a, **kw):
+        builds["n"] += 1
+        return orig_build(*a, **kw)
+
+    pipe._build_generate = counting_build
+    base = np.asarray(pipe.generate(["cat"], num_inference_steps=2, guidance_scale=0.0))
+    assert builds["n"] == 1
+    warm = dict(pipe._generate_jit)
+
+    tree = init_lora(pipe.base_params, rank=2, rng=jax.random.PRNGKey(7))
+    tree = jax.tree_util.tree_map(lambda x: x + 0.05, tree)
+    pipe.load_lora(tree, scaling=1.0, name="style")
+    with_lora = np.asarray(pipe.generate(["cat"], num_inference_steps=2, guidance_scale=0.0))
+    assert builds["n"] == 1, "LoRA swap retraced the generate graph"
+    assert pipe._generate_jit == warm, "LoRA swap cleared the jit cache"
+    assert not np.allclose(with_lora, base)
+
+    pipe.set_adapter_scale("style", 0.0)
+    at_zero = np.asarray(pipe.generate(["cat"], num_inference_steps=2, guidance_scale=0.0))
+    assert builds["n"] == 1
+    np.testing.assert_allclose(at_zero, base, atol=1e-5)
+
+    # int8 rewrites leaf dtypes/tree structure -> signature change -> clear
+    pipe.quantize("int8", min_dim=4)
+    assert pipe._generate_jit == {}
+
+
 def test_prewarm_compiles_all_batch_sizes():
     pipe = _tiny_pipeline()
     cfg = ServingConfig(batch_sizes=(1, 2), prewarm=True)
