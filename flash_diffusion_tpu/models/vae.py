@@ -37,6 +37,10 @@ class AutoencoderKLConfig(BaseConfig):
     latents_std: Optional[List[float]] = None
     shift_factor: Optional[float] = None  # scalar variant (SD3: 0.0609)
     mid_block_attn: bool = True
+    # SD1/SDXL VAEs carry 1×1 quant/post-quant convs around the latent;
+    # the SD3 VAE drops both (diffusers use_quant_conv=False in the
+    # sd3-medium vae/config.json) — checkpoints have no such keys
+    use_quant_conv: bool = True
     # tiled decode (reference: tiling over latent H/W with overlap blending)
     tiling_size: Tuple[int, int] = (64, 64)
     tiling_overlap: Tuple[int, int] = (8, 8)
@@ -51,7 +55,10 @@ def sd_vae_config(**overrides) -> AutoencoderKLConfig:
 
 
 def sd3_vae_config(**overrides) -> AutoencoderKLConfig:
-    base = dict(latent_channels=16, scaling_factor=1.5305, shift_factor=0.0609)
+    base = dict(
+        latent_channels=16, scaling_factor=1.5305, shift_factor=0.0609,
+        use_quant_conv=False,
+    )
     base.update(overrides)
     return AutoencoderKLConfig(**base)
 
@@ -138,8 +145,12 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.config, dtype=self.dtype)
         self.decoder = Decoder(self.config, dtype=self.dtype)
-        self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv")
-        self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv")
+        if self.config.use_quant_conv:
+            self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv")
+            self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv")
+        else:
+            self.quant_conv = lambda m: m
+            self.post_quant_conv = lambda z: z
 
     def moments(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         m = self.quant_conv(self.encoder(x))

@@ -267,14 +267,13 @@ def import_vae(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
     dec["conv_norm_out"] = _norm(sd, "decoder.conv_norm_out")
     dec["conv_out"] = _conv(sd, "decoder.conv_out")
 
-    return {
-        "params": {
-            "encoder": enc,
-            "decoder": dec,
-            "quant_conv": _conv(sd, "quant_conv"),
-            "post_quant_conv": _conv(sd, "post_quant_conv"),
-        }
-    }
+    p = {"encoder": enc, "decoder": dec}
+    # SD1/SDXL carry 1×1 quant convs; the SD3 VAE drops them
+    # (use_quant_conv=False in sd3-medium vae/config.json)
+    if getattr(config, "use_quant_conv", True) and "quant_conv.weight" in sd:
+        p["quant_conv"] = _conv(sd, "quant_conv")
+        p["post_quant_conv"] = _conv(sd, "post_quant_conv")
+    return {"params": p}
 
 
 def import_clip_text(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:

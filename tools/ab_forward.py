@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--int8-convs", action="store_true", help="also W8A8-quantize resnet convs")
     ap.add_argument("--int8-vae", action="store_true", help="W8A8-quantize VAE convs (with --decode)")
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--decode-chunk", type=int, default=1, help="images per decode call (with --decode)")
+    ap.add_argument("--flops", action="store_true", help="report compiled FLOPs + achieved TFLOP/s")
     args = ap.parse_args()
 
     import jax
@@ -52,14 +54,20 @@ def main():
         print(f"int8-quantized {n} VAE kernels", file=sys.stderr)
 
     if args.decode:
+        c = max(1, min(args.decode_chunk, args.batch))
+        while args.batch % c:
+            c -= 1
+
         @jax.jit
         def fwd(vp, z):
-            def body(_, zi):
-                return None, vae.apply(vp, zi[None], method="decode_latents")[0]
-            return jax.lax.scan(body, None, z)[1]
+            chunks = z.reshape(args.batch // c, c, *z.shape[1:])
+            dec = jax.lax.map(
+                lambda zc: vae.apply(vp, zc, method="decode_latents"), chunks
+            )
+            return dec.reshape(args.batch, *dec.shape[2:])
 
         call_args = (vp, latents.astype(jnp.bfloat16))
-        what = f"{args.model} vae decode scan b{args.batch}"
+        what = f"{args.model} vae decode b{args.batch} chunk{c}"
     else:
         @jax.jit
         def fwd(up, z):
@@ -83,7 +91,15 @@ def main():
         for k, v in os.environ.items()
         if k.startswith("FLASH_TPU_") and k != "FLASH_TPU_PALLAS_INTERPRET"
     }
-    print(json.dumps({"what": what, "best_s": round(best, 4), "env": env}))
+    rec = {"what": what, "best_s": round(best, 4), "env": env}
+    if args.flops:
+        from bench import _compiled_flops
+
+        fl = _compiled_flops(fwd.lower(*call_args).compile())
+        if fl:
+            rec["tflop"] = round(fl / 1e12, 2)
+            rec["achieved_tflops"] = round(fl / best / 1e12, 1)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
