@@ -38,6 +38,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
@@ -459,15 +460,17 @@ def _flash_fwd_oneshot_bhsd(q, k, v, scale: float, block_q: int = 512):
     return out[:, :sq, :], lse[:, :, :sq]
 
 
-# Streaming-forward VMEM model: q + out blocks, k + v blocks, ONE live fp32
-# [bq, bkv] score tile (Mosaic reuses the exp output buffer — the measured-
-# good (512, 4096) D=64 config estimates to 10.2 MiB; a two-tile model would
-# put it past the 16 MiB limit it demonstrably fits), plus fp32 scratch.
+# Streaming-forward VMEM model: q + out blocks, k + v blocks — each ×2 for
+# Mosaic's pipeline double-buffering (observed: the b8 VAE mid-attention
+# [8,16384,512] compile OOMs at 16.09 MiB where a single-buffer model said
+# 11 MiB; at D=64 the doubled model still keeps the measured-good
+# (512, 4096) default at 11.4 MiB) — plus ONE live fp32 [bq, bkv] score
+# tile (Mosaic reuses the exp output buffer) and the fp32 scratch.
 _STREAM_FWD_VMEM_BUDGET = 13 * 2**20
 
 
 def _stream_fwd_vmem(bq: int, bkv: int, d: int, itemsize: int) -> int:
-    return (2 * bq * d + 2 * bkv * d) * itemsize + bq * bkv * 4 + (2 * bq * 128 + bq * d) * 4
+    return (2 * bq * d + 2 * bkv * d) * itemsize * 2 + bq * bkv * 4 + (2 * bq * 128 + bq * d) * 4
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
@@ -915,12 +918,8 @@ def _from_bhsd(x, b, h):
     return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _pallas_attention_vjp(q, k, v, scale):
-    # Primal (inference / no-grad) path: the packed-layout kernel skips all
-    # four head transposes. Differentiation goes through the fwd rule below,
-    # which keeps the BHSD kernels (their saved tensors feed the flash
-    # backward with no extra relayout).
+def _attn_primal(q, k, v, scale):
+    """Per-shard (or single-device) Pallas forward, BSHD in/out."""
     if _packed_eligible(q):
         out = _flash_fwd_packed(q, k, v, scale)
         if out is not None:
@@ -928,6 +927,72 @@ def _pallas_attention_vjp(q, k, v, scale):
     b, _, h, _ = q.shape
     out, _ = _flash_fwd_bhsd(_to_bhsd(q), _to_bhsd(k), _to_bhsd(v), scale)
     return _from_bhsd(out, b, h)
+
+
+# --------------------------------------------------------------------------
+# Tensor-parallel partitioning of the Pallas forward.
+#
+# Under a jit over a ("data", "model") mesh with Megatron column-parallel
+# q/k/v projections (parallel/tp.py), activations arrive HEAD-sharded:
+# [B, S, H/n, D]. A bare pallas_call has no SPMD rule, so GSPMD would
+# all-gather every operand per layer (or fail). Attention is pointwise over
+# (batch, head), so custom_partitioning declares exactly that: keep
+# whatever sharding q carries on dims 0 (batch) and 2 (heads), force the
+# sequence and feature dims replicated, and run the SAME kernel per shard.
+# The counter lets tests assert this rule actually drove the lowering.
+# --------------------------------------------------------------------------
+PARTITION_CALLS = {"n": 0}
+
+
+def _attn_io_sharding(mesh, arg_infos):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    qs = getattr(arg_infos[0], "sharding", None)
+    spec = tuple(qs.spec) if isinstance(qs, NamedSharding) else ()
+    spec = spec + (None,) * (4 - len(spec))
+    return NamedSharding(mesh, PartitionSpec(spec[0], None, spec[2], None))
+
+
+def _attn_infer_sharding(scale, mesh, arg_infos, result_infos):
+    del scale, result_infos
+    return _attn_io_sharding(mesh, arg_infos)
+
+
+def _attn_partition(scale, mesh, arg_infos, result_infos):
+    del result_infos
+    PARTITION_CALLS["n"] += 1
+    io = _attn_io_sharding(mesh, arg_infos)
+
+    def lower_fn(q, k, v):
+        return _attn_primal(q, k, v, scale)
+
+    return mesh, lower_fn, io, (io, io, io)
+
+
+_attn_primal_cp = custom_partitioning(_attn_primal, static_argnums=(3,))
+_attn_primal_cp.def_partition(
+    partition=_attn_partition,
+    infer_sharding_from_operands=_attn_infer_sharding,
+    # Shardy (the default partitioner on current JAX) propagates through the
+    # einsum-like rule instead of the callbacks: batch and head factors pass
+    # sharding through; sequence and feature dims are forced replicated
+    # (attention is global over the KV sequence).
+    sharding_rule="b s h d, b t h d, b t h d -> b s h d",
+    # order matters: Shardy wants these sorted by factor index (s=1, d=3, t=4)
+    need_replication_factors=("s", "d", "t"),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_attention_vjp(q, k, v, scale):
+    # Primal (inference / no-grad) path: the packed-layout kernel skips all
+    # four head transposes, and the custom_partitioning wrapper makes the
+    # kernel leg TP-correct (head-sharded per-shard dispatch instead of a
+    # GSPMD all-gather). Differentiation goes through the fwd rule below,
+    # which keeps the BHSD kernels (their saved tensors feed the flash
+    # backward with no extra relayout); TP training is not a supported
+    # path (training shards batch/params, never heads).
+    return _attn_primal_cp(q, k, v, scale)
 
 
 def _pallas_attention_fwd(q, k, v, scale):
