@@ -61,6 +61,13 @@ def main():
         help="persistent XLA compilation cache: restarts skip the ~minutes "
         "SDXL-size compiles (jax persistent cache keyed on HLO+flags)",
     )
+    ap.add_argument(
+        "--tp", type=int, default=1, metavar="N",
+        help="tensor-parallel degree: shard the denoiser's attention/MLP "
+        "kernels over N chips of a ('data','model') mesh (Megatron "
+        "column/row placement, parallel/tp.py) — for models larger than "
+        "one chip's HBM. Requires device_count %% N == 0.",
+    )
     args = ap.parse_args()
 
     if args.compile_cache:
@@ -75,6 +82,17 @@ def main():
     )
     if args.int8:
         pipe.quantize("int8")
+    if args.tp > 1:
+        import jax
+
+        from flash_diffusion_tpu.parallel import create_mesh
+
+        n = len(jax.devices())
+        if n % args.tp:
+            raise SystemExit(f"--tp {args.tp} does not divide {n} devices")
+        mesh = create_mesh(axes=("data", "model"), shape=(n // args.tp, args.tp))
+        pipe.shard_tp(mesh)
+        print(f"tensor-parallel serving: mesh data={n // args.tp} model={args.tp}")
     config = ServingConfig(
         host=args.host,
         port=args.port,

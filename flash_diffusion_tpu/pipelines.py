@@ -121,6 +121,27 @@ class FlashPipeline:
         self._params_sig = sig
         self.params = params
 
+    def shard_tp(self, mesh, axis: str = "model"):
+        """Tensor-parallel serving placement: Megatron column/row specs on
+        the denoiser's attention/MLP kernels over ``mesh``'s model axis
+        (parallel/tp.py), VAE + conditioners replicated. jit's SPMD
+        partitioner inserts the all-reduces, and the Pallas attention
+        kernel partitions per-shard through its custom_partitioning rule
+        (ops/attention.py) instead of forcing a per-layer all-gather.
+
+        For serving models larger than one chip's HBM — the reference has
+        no parallelism beyond DDP training (SURVEY.md §2.2)."""
+        from .parallel import replicate, shard_params_tp
+
+        self._tp_mesh = (mesh, axis)
+        self.base_params = shard_params_tp(self.base_params, mesh, axis)
+        if self.vae_params is not None:
+            self.vae_params = replicate(self.vae_params, mesh)
+        if self.conditioner_params is not None:
+            self.conditioner_params = replicate(self.conditioner_params, mesh)
+        self._generate_jit.clear()
+        self._refresh()
+
     def quantize(self, mode: str = "int8", min_dim: int = 256):
         """Opt-in W8A8 int8 serving mode (see quant.py). LoRA adapters merge
         at full precision first; re-quantizes on every adapter change."""
