@@ -421,6 +421,114 @@ def bench_train_sd3(args):
     print(json.dumps(rec))
 
 
+def _examples_pipeline(args):
+    """Build the full user-visible pipeline (tokenizer + conditioner stack +
+    denoiser + VAE) via the shared examples builder; random-init weights
+    unless --weights-root is given (timing is weight-value independent)."""
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "examples"))
+    from sample import build_pipeline
+
+    return build_pipeline(
+        args.model, args.weights_root or "", random_init=not args.weights_root
+    )
+
+
+def bench_e2e(args):
+    """End-to-end throughput: tokenize → text encoders → 4-NFE denoise →
+    VAE decode (VERDICT r3 #4: the headline bench feeds pre-built zero
+    embeddings; a user's images/sec includes the conditioning stack)."""
+    pipe = _examples_pipeline(args)
+    batch = args.batch or 8
+    prompts = [f"a photo of a raccoon reading book number {i}" for i in range(batch)]
+    seeds = list(range(batch))
+    lshape = pipe.latent_shape
+    base = jax.random.normal(jax.random.PRNGKey(1), (batch, *lshape))
+
+    def once(latents):
+        return pipe.generate(
+            prompts, num_inference_steps=args.steps, guidance_scale=0.0,
+            seed=seeds, latents=latents,
+        )
+
+    out = once(base)
+    _ = float(jnp.asarray(out).mean())  # compile + unambiguous barrier
+    t0 = time.perf_counter()
+    lat = base
+    for _i in range(args.iters):
+        out = once(lat)
+        # chain: iteration i+1's latents depend on i's images, so the relay
+        # cannot pipeline independent dispatches past each other
+        lat = base + 1e-6 * out[..., :1, :1, :].mean()
+    _ = float(jnp.asarray(out).mean())
+    dt = (time.perf_counter() - t0) / args.iters
+    res = int(lshape[0] * pipe.vae_scale_factor)
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.model}_{res}px_{args.steps}nfe_e2e_images_per_sec_per_chip",
+                "value": round(batch / dt, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": 1.0,
+                "batch": batch,
+                "step_time_s": round(dt, 4),
+                "includes": "tokenize+text_encoders+denoise+decode",
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+def bench_serving(args):
+    """Serving-stack throughput at occupancy 1.0: the DynamicBatcher fed a
+    saturated same-key queue (VERDICT r3 #4 — the serving layer shipped in
+    r3 had no number). Includes batching, tokenize, encode, denoise,
+    decode, and the host↔device image pull."""
+    from flash_diffusion_tpu.serving import DynamicBatcher, ServingConfig
+
+    pipe = _examples_pipeline(args)
+    batch = args.batch or 8
+    cfg = ServingConfig(max_batch=batch, batch_sizes=(batch,), linger_ms=20.0)
+    batcher = DynamicBatcher(pipe, cfg).start()
+    try:
+        # warm: one full batch through the worker (compiles the graph)
+        warm = [
+            batcher.submit(f"warm {i}", seed=i, steps=args.steps, guidance=0.0)
+            for i in range(batch)
+        ]
+        for r in warm:
+            r.event.wait(timeout=1200)
+            assert r.error is None, r.error
+        total = batch * args.iters
+        t0 = time.perf_counter()
+        reqs = [
+            batcher.submit(f"req {i}", seed=i, steps=args.steps, guidance=0.0)
+            for i in range(total)
+        ]
+        for r in reqs:
+            r.event.wait(timeout=1200)
+            assert r.error is None, r.error
+            r.image = None  # don't accumulate full-res images in host RAM
+        dt = time.perf_counter() - t0
+    finally:
+        batcher.stop()
+    res = int(pipe.latent_shape[0] * pipe.vae_scale_factor)
+    occupancy = batcher.images_generated / max(batcher.slots_dispatched, 1)
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.model}_{res}px_{args.steps}nfe_serving_images_per_sec",
+                "value": round(total / dt, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": 1.0,
+                "batch": batch,
+                "occupancy": round(occupancy, 3),
+                "includes": "batcher+tokenize+text_encoders+denoise+decode+host_pull",
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="sdxl", choices=["sdxl", "sd15", "pixart", "sd3"])
@@ -443,9 +551,12 @@ def main():
         action="store_true",
         help="skip the matmul roofline probe + MFU accounting",
     )
-    # measured on v5e: chunk 1 (per-image) beats chunk 4 (2.64s vs 3.24s per
-    # batch-8 iteration) — larger decode chunks raise HBM pressure
-    ap.add_argument("--decode-chunk", type=int, default=1, help="images per VAE decode call")
+    # r4 on-chip sweep (tools/ab_forward.py, after the attention VMEM fix
+    # unblocked batch-8 compile): whole-batch 0.506s vs scanned-per-image
+    # 0.731s vs chunk2 1.349s — batch-8 keeps the GN stats reduces
+    # sublane-dense where batch-1 runs them at 10-140 GB/s. 0 = whole batch
+    # (matches FlashPipeline's decode); use 1 on memory-tight configs.
+    ap.add_argument("--decode-chunk", type=int, default=0, help="images per VAE decode call (0 = whole batch)")
     ap.add_argument(
         "--weights-root",
         default=None,
@@ -467,12 +578,26 @@ def main():
         "--decoder", default="pil", choices=["pil", "native"],
         help="(--input-pipeline) native = C++ fused decode+resize (GIL-free)",
     )
+    ap.add_argument(
+        "--e2e",
+        action="store_true",
+        help="bench tokenize → text encoders → sample → decode (full user path)",
+    )
+    ap.add_argument(
+        "--serving",
+        action="store_true",
+        help="bench the DynamicBatcher serving stack at occupancy 1.0",
+    )
     args = ap.parse_args()
     if args.input_pipeline:
         return bench_input_pipeline(args)
     _preflight_backend(args)
     if args.train:
         return bench_train(args)
+    if args.e2e:
+        return bench_e2e(args)
+    if args.serving:
+        return bench_serving(args)
 
     from flash_diffusion_tpu.schedulers import SchedulerConfig, flow_match, lcm
 
@@ -516,7 +641,7 @@ def main():
                 if args.no_decode:
                     return s
                 # chunked decode: bounded VAE peak memory, batched MXU work
-                c = max(1, min(args.decode_chunk, batch))
+                c = batch if args.decode_chunk <= 0 else min(args.decode_chunk, batch)
                 while batch % c:
                     c -= 1
                 chunks = s.reshape(batch // c, c, *s.shape[1:])

@@ -205,10 +205,25 @@ def group_norm(
     # activation (the copy doubles HBM traffic on the 1024² VAE decode path);
     # E[x²]−E[x]² with fp32 accumulators is adequate for unit-scale
     # activations and is what fused GN kernels do.
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
-    mean_sq = jnp.mean(
-        xg.astype(jnp.float32) * xg, axis=(1, 3), keepdims=True, dtype=jnp.float32
-    )
+    if os.environ.get("FLASH_TPU_GN_SPLIT_STATS", "0") == "1" and x.ndim == 4:
+        # EXPERIMENT (r4 decode A/B): staged reductions — collapse W (the
+        # dim XLA's batch-1 reduce emitter schedules worst) into a fp32
+        # [B, H, C] partial first, then finish over H. Same bytes read,
+        # different emitter schedule.
+        s1 = jnp.sum(x, axis=2, dtype=jnp.float32)
+        s2 = jnp.sum(x.astype(jnp.float32) * x, axis=2, dtype=jnp.float32)
+        n = x.shape[1] * x.shape[2] * (c // g)
+        mean = (
+            jnp.sum(s1, axis=1).reshape(b, g, c // g).sum(-1, keepdims=True) / n
+        ).reshape(b, 1, g, 1)
+        mean_sq = (
+            jnp.sum(s2, axis=1).reshape(b, g, c // g).sum(-1, keepdims=True) / n
+        ).reshape(b, 1, g, 1)
+    else:
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+        mean_sq = jnp.mean(
+            xg.astype(jnp.float32) * xg, axis=(1, 3), keepdims=True, dtype=jnp.float32
+        )
     var = jnp.maximum(mean_sq - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     # fold (scale, bias, mean, inv) into one elementwise pass in orig dtype

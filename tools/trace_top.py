@@ -79,6 +79,7 @@ def main():
     ap.add_argument("--model", default="sdxl", choices=["sdxl", "sd15", "pixart", "sd3"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--decode", action="store_true")
+    ap.add_argument("--decode-chunk", type=int, default=1, help="images per decode call")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--out", default=None, help="trace dir (default: temp)")
@@ -101,11 +102,17 @@ def main():
         up, _ = quantize_dense(up)
 
     if args.decode:
+        c = max(1, min(args.decode_chunk, args.batch))
+        while args.batch % c:
+            c -= 1
+
         @jax.jit
         def fwd(vp, z):
-            def body(_, zi):
-                return None, vae.apply(vp, zi[None], method="decode")[0]
-            return jax.lax.scan(body, None, z)[1]
+            chunks = z.reshape(args.batch // c, c, *z.shape[1:])
+            dec = jax.lax.map(
+                lambda zc: vae.apply(vp, zc, method="decode_latents"), chunks
+            )
+            return dec.reshape(args.batch, *dec.shape[2:])
 
         call_args = (vp, latents.astype(jnp.bfloat16))
     else:
