@@ -428,9 +428,25 @@ def _examples_pipeline(args):
     _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "examples"))
     from sample import build_pipeline
 
-    return build_pipeline(
+    pipe = build_pipeline(
         args.model, args.weights_root or "", random_init=not args.weights_root
     )
+    # bf16 storage for every frozen tree: the bodies compute in bf16 anyway
+    # (flax promote_dtype), and fp32 originals of the big text towers
+    # (pixart T5-XXL = 19 G fp32) would OOM a 16 G chip at first dispatch
+    cast = lambda tree: jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.bfloat16)
+        if hasattr(a, "dtype") and jnp.asarray(a).dtype == jnp.float32
+        else a,
+        tree,
+    )
+    pipe.base_params = cast(pipe.base_params)
+    pipe.params = cast(pipe.params)
+    if pipe.vae_params is not None:
+        pipe.vae_params = cast(pipe.vae_params)
+    if pipe.conditioner_params is not None:
+        pipe.conditioner_params = cast(pipe.conditioner_params)
+    return pipe
 
 
 def bench_e2e(args):
