@@ -7,9 +7,12 @@ code; reference README.md:57).
         --inception /weights/inception_v3_google.pth --max-batches 200
 
 Shard samples need an image (jpg/png) + caption (txt or json["caption"]).
-Reports InceptionV3-pool3 FID (when --inception given; torchvision-weight
-based — internally consistent, not directly comparable to published FID
-tables, see models/inception.py) and/or CLIP-FID (CLIP vision weights under
+Reports InceptionV3-pool3 FID (when --inception given). Weights file name
+decides the block semantics: a ``pt_inception-2015-12-05`` checkpoint (or
+``--fid-variant``) selects the canonical pytorch-fid blocks — FID is then
+directly comparable to published COCO tables; a torchvision
+``inception_v3_google`` checkpoint gives internally-consistent-only values
+(see models/inception.py). And/or CLIP-FID (CLIP vision weights under
 --weights-root image_encoder/). CLIPScore additionally requires the matched
 text tower: put a FULL CLIP checkpoint (both towers + text_projection, e.g.
 openai/clip-vit-large-patch14 model.safetensors) at image_encoder/."""
@@ -46,7 +49,15 @@ def main():
     ap.add_argument("--shards", nargs="+", required=True)
     ap.add_argument("--lora", default=None)
     ap.add_argument("--lora-scale", type=float, default=1.0)
-    ap.add_argument("--inception", default=None, help="torchvision inception_v3 .pth")
+    ap.add_argument(
+        "--inception", default=None,
+        help="inception_v3 .pth (torchvision or pt_inception-2015-12-05)",
+    )
+    ap.add_argument(
+        "--fid-variant", action="store_true",
+        help="force canonical pytorch-fid block semantics (auto-detected "
+        "from a pt_inception* filename)",
+    )
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--guidance-scale", type=float, default=0.0)
     ap.add_argument("--batch-size", type=int, default=8)
@@ -108,10 +119,12 @@ def main():
             yield b
 
     inception_params = None
+    fid_variant = False
     if args.inception:
         from flash_diffusion_tpu.models import load_inception_v3
 
         inception_params = load_inception_v3(args.inception)
+        fid_variant = args.fid_variant or "pt_inception" in os.path.basename(args.inception)
 
     vision_module = vision_params = text_embed_fn = None
     clip_vis = os.path.join(args.weights_root or "", "image_encoder/model.safetensors")
@@ -167,6 +180,7 @@ def main():
         guidance_scale=args.guidance_scale,
         max_batches=args.max_batches,
         inception_params=inception_params,
+        inception_fid_variant=fid_variant,
     )
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in metrics.items()}))
 

@@ -31,15 +31,19 @@ def evaluate(
     max_batches: Optional[int] = None,
     seed: int = 0,
     inception_params=None,
+    inception_fid_variant: bool = False,
 ) -> Dict[str, float]:
     """Returns {"fid": …, "clip_fid": …, "clip_score": …, "num_samples": …}.
 
     ``data`` yields batches with "image" ([-1,1] NHWC) and the pipeline's
     conditioning inputs (e.g. "text"/"text_ids"). ``text_embed_fn`` maps a
     batch to CLIP text embeds for CLIPScore (skipped when None).
-    ``inception_params`` (models.inception.load_inception_v3) enables the
-    canonical InceptionV3-pool3 FID ("fid"); the CLIP vision tower gives
-    "clip_fid" + "clip_score". At least one extractor must be provided.
+    ``inception_params`` (models.inception.load_inception_v3) enables
+    InceptionV3-pool3 FID ("fid"); set ``inception_fid_variant=True`` when
+    the params come from the pt_inception-2015-12-05 checkpoint to apply
+    the canonical pytorch-fid block semantics (published-table-comparable
+    FID). The CLIP vision tower gives "clip_fid" + "clip_score". At least
+    one extractor must be provided.
     """
     if vision_params is None and inception_params is None:
         raise ValueError("provide vision_params (CLIP) and/or inception_params")
@@ -57,7 +61,7 @@ def evaluate(
         from ..models.inception import InceptionV3Pool3
         from ..models.inception import preprocess as incep_preprocess
 
-        incep = InceptionV3Pool3()
+        incep = InceptionV3Pool3(fid_variant=inception_fid_variant)
 
         @jax.jit
         def embed_incep(images):

@@ -5,13 +5,20 @@ First-party re-implementation of torchvision's ``inception_v3`` trunk
 claims with no in-repo eval code (reference README.md:57; SURVEY.md §6), so
 this plus eval/metrics.py IS the framework's quality gate.
 
-Comparability caveat: published FID numbers (pytorch-fid / the original TF
-implementation) use the ``pt_inception-2015-12-05`` checkpoint with modified
-blocks (FIDInceptionA/C/E: ``count_include_pad=False`` avg-pools, a max-pool
-branch in E_2). This port follows torchvision's stock ``inception_v3``
-semantics and loads torchvision weights, so FID values computed here are
-internally consistent (valid for A/B comparisons and training curves) but
-NOT directly comparable to published COCO FID tables.
+Two variants are supported via ``InceptionV3Pool3(fid_variant=...)``:
+
+- ``fid_variant=False`` (default): torchvision's stock ``inception_v3``
+  semantics; loads the ``inception_v3_google-*.pth`` torchvision weights.
+  FID values are internally consistent (valid for A/B comparisons and
+  training curves) but NOT comparable to published tables.
+- ``fid_variant=True``: the CANONICAL pytorch-fid semantics — the
+  ``pt_inception-2015-12-05`` checkpoint's modified blocks
+  (FIDInceptionA/C/E_1: ``count_include_pad=False`` branch avg-pools;
+  FIDInceptionE_2 [Mixed_7c]: max-pool branch). With that checkpoint on
+  disk this produces pool3 features bit-matching pytorch-fid's, so FID is
+  directly comparable to published COCO tables. The state-dict naming is
+  identical to torchvision's, so the same importer serves both (the FID
+  checkpoint's 1008-class fc is dropped like torchvision's 1000-class one).
 
 Inference-only: BatchNorm is folded into per-channel (scale, bias) applied
 after each conv — ``import_inception_v3`` computes them from a torchvision
@@ -56,8 +63,17 @@ class BasicConv(nn.Module):
         return nn.relu(x * scale + bias)
 
 
-def _avg_pool3(x):
-    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+def _avg_pool3(x, fid=False):
+    # pytorch-fid's FIDInception blocks pass count_include_pad=False: edge
+    # windows divide by the number of REAL elements, not the window size
+    return nn.avg_pool(
+        x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+        count_include_pad=not fid,
+    )
+
+
+def _max_pool3s1(x):
+    return nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
 
 
 def _max_pool3s2(x):
@@ -66,6 +82,7 @@ def _max_pool3s2(x):
 
 class InceptionA(nn.Module):
     pool_features: int
+    fid: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -75,7 +92,9 @@ class InceptionA(nn.Module):
         b3 = BasicConv(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = BasicConv(96, (3, 3), padding=1, name="branch3x3dbl_2")(b3)
         b3 = BasicConv(96, (3, 3), padding=1, name="branch3x3dbl_3")(b3)
-        bp = BasicConv(self.pool_features, (1, 1), name="branch_pool")(_avg_pool3(x))
+        bp = BasicConv(self.pool_features, (1, 1), name="branch_pool")(
+            _avg_pool3(x, self.fid)
+        )
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -91,6 +110,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    fid: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -104,7 +124,7 @@ class InceptionC(nn.Module):
         bd = BasicConv(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
         bd = BasicConv(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
         bd = BasicConv(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
-        bp = BasicConv(192, (1, 1), name="branch_pool")(_avg_pool3(x))
+        bp = BasicConv(192, (1, 1), name="branch_pool")(_avg_pool3(x, self.fid))
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -121,6 +141,10 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    # branch_pool mode: "avg" (torchvision), "avg_fid" (FIDInceptionE_1,
+    # count_include_pad=False), "max" (FIDInceptionE_2)
+    pool: str = "avg"
+
     @nn.compact
     def __call__(self, x):
         b1 = BasicConv(320, (1, 1), name="branch1x1")(x)
@@ -141,15 +165,25 @@ class InceptionE(nn.Module):
             ],
             axis=-1,
         )
-        bp = BasicConv(192, (1, 1), name="branch_pool")(_avg_pool3(x))
+        pooled = (
+            _max_pool3s1(x) if self.pool == "max" else _avg_pool3(x, self.pool == "avg_fid")
+        )
+        bp = BasicConv(192, (1, 1), name="branch_pool")(pooled)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3Pool3(nn.Module):
-    """The FID feature trunk; returns [B, 2048] pool3 features."""
+    """The FID feature trunk; returns [B, 2048] pool3 features.
+
+    ``fid_variant=True`` applies pytorch-fid's FIDInception block semantics
+    (see module docstring); parameter names/shapes are identical either way.
+    """
+
+    fid_variant: bool = False
 
     @nn.compact
     def __call__(self, x):
+        fid = self.fid_variant
         x = BasicConv(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
         x = BasicConv(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = BasicConv(64, (3, 3), padding=1, name="Conv2d_2b_3x3")(x)
@@ -157,17 +191,17 @@ class InceptionV3Pool3(nn.Module):
         x = BasicConv(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = BasicConv(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = _max_pool3s2(x)
-        x = InceptionA(32, name="Mixed_5b")(x)
-        x = InceptionA(64, name="Mixed_5c")(x)
-        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionA(32, fid=fid, name="Mixed_5b")(x)
+        x = InceptionA(64, fid=fid, name="Mixed_5c")(x)
+        x = InceptionA(64, fid=fid, name="Mixed_5d")(x)
         x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(128, name="Mixed_6b")(x)
-        x = InceptionC(160, name="Mixed_6c")(x)
-        x = InceptionC(160, name="Mixed_6d")(x)
-        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionC(128, fid=fid, name="Mixed_6b")(x)
+        x = InceptionC(160, fid=fid, name="Mixed_6c")(x)
+        x = InceptionC(160, fid=fid, name="Mixed_6d")(x)
+        x = InceptionC(192, fid=fid, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(pool="avg_fid" if fid else "avg", name="Mixed_7b")(x)
+        x = InceptionE(pool="max" if fid else "avg", name="Mixed_7c")(x)
         return jnp.mean(x, axis=(1, 2))  # global average pool → [B, 2048]
 
 

@@ -93,3 +93,48 @@ def test_import_and_pool3_features():
     same = fid_from_features(base, base.copy())
     other = fid_from_features(base, base + 1.0)
     assert same < 1e-6 and other > 1.0
+
+
+def test_fid_variant_pools_match_pytorch_fid_semantics():
+    """The canonical pt_inception block deltas: count_include_pad=False
+    branch avg-pools (FIDInceptionA/C/E_1) and the E_2 max-pool branch —
+    numerically vs torch.nn.functional, which is what pytorch-fid calls."""
+    import torch.nn.functional as F
+
+    from flash_diffusion_tpu.models.inception import _avg_pool3, _max_pool3s1
+
+    torch.manual_seed(1)
+    xt = torch.randn(2, 5, 9, 9)
+    xj = jnp.asarray(xt.numpy().transpose(0, 2, 3, 1))
+
+    ref_fid = F.avg_pool2d(xt, 3, stride=1, padding=1, count_include_pad=False)
+    ref_tv = F.avg_pool2d(xt, 3, stride=1, padding=1, count_include_pad=True)
+    ref_max = F.max_pool2d(xt, 3, stride=1, padding=1)
+    np.testing.assert_allclose(
+        np.array(_avg_pool3(xj, fid=True)).transpose(0, 3, 1, 2),
+        ref_fid.numpy(), rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.array(_avg_pool3(xj, fid=False)).transpose(0, 3, 1, 2),
+        ref_tv.numpy(), rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.array(_max_pool3s1(xj)).transpose(0, 3, 1, 2),
+        ref_max.numpy(), rtol=1e-5, atol=1e-5,
+    )
+    # the edge-window divisor differs → the two avg variants must differ
+    assert not np.allclose(ref_fid.numpy(), ref_tv.numpy())
+
+
+def test_fid_variant_changes_trunk_output_with_same_params():
+    """fid_variant flips pooling semantics only: same param tree loads into
+    both variants, outputs differ (the pools sit inside Mixed blocks)."""
+    rng = np.random.RandomState(1)
+    sd = _synthetic_torchvision_sd(rng)
+    params = import_inception_v3(sd)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (1, 75, 75, 3)).astype(np.float32))
+    tv = InceptionV3Pool3(fid_variant=False).apply(params, imgs)
+    fid = InceptionV3Pool3(fid_variant=True).apply(params, imgs)
+    assert tv.shape == fid.shape == (1, 2048)
+    assert np.all(np.isfinite(np.array(tv))) and np.all(np.isfinite(np.array(fid)))
+    assert not np.allclose(np.array(tv), np.array(fid))

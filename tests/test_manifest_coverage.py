@@ -53,7 +53,8 @@ def load_manifest(name):
     with open(os.path.join(MANIFEST_DIR, f"{name}.txt")) as f:
         for line in f:
             parts = line.split()
-            shape = tuple(int(s) for s in parts[1].split(",")) if parts[1] != "" else ()
+            # "-" encodes a scalar tensor (e.g. bn.num_batches_tracked)
+            shape = tuple(int(s) for s in parts[1].split(",")) if parts[1] != "-" else ()
             (optional if len(parts) == 3 else required)[parts[0]] = shape
     return required, optional
 
@@ -198,4 +199,51 @@ def test_t5_xxl_manifest_coverage():
     _audit(
         "t5_xxl", hf.import_t5_encoder, cfg,
         lambda: net.init(RNG, jnp.zeros((1, 120), jnp.int32)),
+    )
+
+
+@pytest.mark.parametrize(
+    "name,fid",
+    [("inception_v3_tv", False), ("inception_v3_fid", True)],
+)
+def test_inception_manifest_coverage(name, fid):
+    """Both FID towers: torchvision inception_v3_google AND the canonical
+    pytorch-fid pt_inception-2015-12-05 (same key naming; 1008-class fc,
+    no aux head). Parameter trees are variant-independent."""
+    from flash_diffusion_tpu.models.inception import (
+        InceptionV3Pool3,
+        import_inception_v3,
+    )
+
+    net = InceptionV3Pool3(fid_variant=fid)
+    _audit(
+        name, lambda sd, cfg: import_inception_v3(sd), None,
+        lambda: net.init(RNG, jnp.zeros((1, 299, 299, 3))),
+    )
+
+
+def test_lpips_vgg_manifest_coverage():
+    """The torch ``lpips`` package LPIPS(net='vgg') full state dict."""
+    from flash_diffusion_tpu.distill.lpips import LPIPS
+
+    net = LPIPS()
+    _audit(
+        "lpips_vgg", lambda sd, cfg: hf.import_lpips_torch(sd), None,
+        lambda: net.init(RNG, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))),
+    )
+
+
+def test_clip_vision_manifest_coverage():
+    """openai/clip-vit-large-patch14 vision tower w/ projection (CLIPScore
+    / CLIP-FID extractor, examples/eval_coco.py)."""
+    from flash_diffusion_tpu.models.vision import CLIPVisionConfig, CLIPVisionModel
+
+    cfg = CLIPVisionConfig(
+        hidden_size=1024, intermediate_size=4096, num_layers=24,
+        num_heads=16, projection_dim=768,
+    )
+    net = CLIPVisionModel(cfg)
+    _audit(
+        "clip_vision_l", hf.import_clip_vision, cfg,
+        lambda: net.init(RNG, jnp.zeros((1, 224, 224, 3))),
     )

@@ -300,6 +300,144 @@ def t5_manifest(d_model=4096, d_ff=10240, layers=24, heads=64, d_kv=64):
     return m
 
 
+# ---------------------------------------------------------------------------
+# InceptionV3 (FID tower) — torchvision naming; no torchvision in this image,
+# so the scheme is encoded explicitly (it is also what pt_inception uses)
+# ---------------------------------------------------------------------------
+def inception_manifest(fid=False):
+    """fid=False: torchvision inception_v3_google (aux head, 1000-class fc).
+    fid=True: pytorch-fid pt_inception-2015-12-05 (no aux, 1008-class fc)."""
+    m = M()
+
+    def bconv(name, o, i, kh, kw=None):
+        kw = kh if kw is None else kw
+        m[f"{name}.conv.weight"] = (o, i, kh, kw)
+        for suffix in ("weight", "bias", "running_mean", "running_var"):
+            m[f"{name}.bn.{suffix}"] = (o,)
+        m[f"{name}.bn.num_batches_tracked?"] = ()
+
+    def block_a(p, c_in, pool_features):
+        bconv(f"{p}.branch1x1", 64, c_in, 1)
+        bconv(f"{p}.branch5x5_1", 48, c_in, 1)
+        bconv(f"{p}.branch5x5_2", 64, 48, 5)
+        bconv(f"{p}.branch3x3dbl_1", 64, c_in, 1)
+        bconv(f"{p}.branch3x3dbl_2", 96, 64, 3)
+        bconv(f"{p}.branch3x3dbl_3", 96, 96, 3)
+        bconv(f"{p}.branch_pool", pool_features, c_in, 1)
+        return 64 + 64 + 96 + pool_features
+
+    def block_c(p, c_in, c7):
+        bconv(f"{p}.branch1x1", 192, c_in, 1)
+        bconv(f"{p}.branch7x7_1", c7, c_in, 1)
+        bconv(f"{p}.branch7x7_2", c7, c7, 1, 7)
+        bconv(f"{p}.branch7x7_3", 192, c7, 7, 1)
+        bconv(f"{p}.branch7x7dbl_1", c7, c_in, 1)
+        bconv(f"{p}.branch7x7dbl_2", c7, c7, 7, 1)
+        bconv(f"{p}.branch7x7dbl_3", c7, c7, 1, 7)
+        bconv(f"{p}.branch7x7dbl_4", c7, c7, 7, 1)
+        bconv(f"{p}.branch7x7dbl_5", 192, c7, 1, 7)
+        bconv(f"{p}.branch_pool", 192, c_in, 1)
+        return 768
+
+    def block_e(p, c_in):
+        bconv(f"{p}.branch1x1", 320, c_in, 1)
+        bconv(f"{p}.branch3x3_1", 384, c_in, 1)
+        bconv(f"{p}.branch3x3_2a", 384, 384, 1, 3)
+        bconv(f"{p}.branch3x3_2b", 384, 384, 3, 1)
+        bconv(f"{p}.branch3x3dbl_1", 448, c_in, 1)
+        bconv(f"{p}.branch3x3dbl_2", 384, 448, 3)
+        bconv(f"{p}.branch3x3dbl_3a", 384, 384, 1, 3)
+        bconv(f"{p}.branch3x3dbl_3b", 384, 384, 3, 1)
+        bconv(f"{p}.branch_pool", 192, c_in, 1)
+        return 2048
+
+    bconv("Conv2d_1a_3x3", 32, 3, 3)
+    bconv("Conv2d_2a_3x3", 32, 32, 3)
+    bconv("Conv2d_2b_3x3", 64, 32, 3)
+    bconv("Conv2d_3b_1x1", 80, 64, 1)
+    bconv("Conv2d_4a_3x3", 192, 80, 3)
+    c = block_a("Mixed_5b", 192, 32)
+    c = block_a("Mixed_5c", c, 64)
+    c = block_a("Mixed_5d", c, 64)
+    # Mixed_6a (InceptionB)
+    bconv("Mixed_6a.branch3x3", 384, c, 3)
+    bconv("Mixed_6a.branch3x3dbl_1", 64, c, 1)
+    bconv("Mixed_6a.branch3x3dbl_2", 96, 64, 3)
+    bconv("Mixed_6a.branch3x3dbl_3", 96, 96, 3)
+    c = 384 + 96 + c
+    c = block_c("Mixed_6b", c, 128)
+    c = block_c("Mixed_6c", c, 160)
+    c = block_c("Mixed_6d", c, 160)
+    c = block_c("Mixed_6e", c, 192)
+    if not fid:
+        # aux classifier head (training-only; the importer drops it)
+        bconv("AuxLogits.conv0", 128, 768, 1)
+        bconv("AuxLogits.conv1", 768, 128, 5)
+        m["AuxLogits.fc.weight"] = (1000, 768)
+        m["AuxLogits.fc.bias"] = (1000,)
+        for k in list(m):
+            if k.startswith("AuxLogits") and not k.endswith("?"):
+                m[f"{k}?"] = m.pop(k)
+    # Mixed_7a (InceptionD)
+    bconv("Mixed_7a.branch3x3_1", 192, c, 1)
+    bconv("Mixed_7a.branch3x3_2", 320, 192, 3)
+    bconv("Mixed_7a.branch7x7x3_1", 192, c, 1)
+    bconv("Mixed_7a.branch7x7x3_2", 192, 192, 1, 7)
+    bconv("Mixed_7a.branch7x7x3_3", 192, 192, 7, 1)
+    bconv("Mixed_7a.branch7x7x3_4", 192, 192, 3)
+    c = 320 + 192 + c
+    c = block_e("Mixed_7b", c)
+    c = block_e("Mixed_7c", c)
+    n_classes = 1008 if fid else 1000
+    m["fc.weight?"] = (n_classes, 2048)
+    m["fc.bias?"] = (n_classes,)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# LPIPS(net='vgg') — the torch ``lpips`` package full state dict
+# ---------------------------------------------------------------------------
+def lpips_vgg_manifest():
+    m = M()
+    # ScalingLayer buffers (hardcoded constants in our module → optional)
+    m["scaling_layer.shift?"] = (1, 3, 1, 1)
+    m["scaling_layer.scale?"] = (1, 3, 1, 1)
+    # vgg16 trunk: lpips keeps torchvision's GLOBAL feature indices inside
+    # per-stage slices (pretrained_networks.vgg16 add_module(str(x), ...))
+    slices = [
+        (1, [(0, 64, 3), (2, 64, 64)]),
+        (2, [(5, 128, 64), (7, 128, 128)]),
+        (3, [(10, 256, 128), (12, 256, 256), (14, 256, 256)]),
+        (4, [(17, 512, 256), (19, 512, 512), (21, 512, 512)]),
+        (5, [(24, 512, 512), (26, 512, 512), (28, 512, 512)]),
+    ]
+    for si, convs in slices:
+        for idx, o, i in convs:
+            m.conv(f"net.slice{si}.{idx}", o, i, 3)
+    for li, ch in enumerate([64, 128, 256, 512, 512]):
+        m[f"lins.{li}.model.1.weight"] = (1, ch, 1, 1)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (ViT-L/14 w/ projection — CLIPScore / CLIP-FID)
+# ---------------------------------------------------------------------------
+def clip_vision_manifest(hidden=1024, layers=24, heads=16, intermediate=4096, projection_dim=768):
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    cfg = CLIPVisionConfig(
+        hidden_size=hidden, intermediate_size=intermediate,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        image_size=224, patch_size=14, projection_dim=projection_dim,
+    )
+    with torch.device("meta"):
+        model = CLIPVisionModelWithProjection(cfg)
+    m = M({k: tuple(v.shape) for k, v in model.state_dict().items()})
+    m["vision_model.embeddings.position_ids?"] = (1, (224 // 14) ** 2 + 1)
+    return m
+
+
 MANIFESTS = {
     "sd15_unet": lambda: unet_manifest(
         [320, 640, 1280, 1280], ["CrossAttnDownBlock2D"] * 3 + ["DownBlock2D"],
@@ -316,6 +454,10 @@ MANIFESTS = {
     "clip_vit_l": lambda: clip_manifest(768, 12, 12, 3072),
     "clip_bigg_proj": lambda: clip_manifest(1280, 32, 20, 5120, projection_dim=1280),
     "t5_xxl": t5_manifest,
+    "inception_v3_tv": lambda: inception_manifest(fid=False),
+    "inception_v3_fid": lambda: inception_manifest(fid=True),
+    "lpips_vgg": lpips_vgg_manifest,
+    "clip_vision_l": clip_vision_manifest,
 }
 
 
@@ -327,7 +469,8 @@ def main():
         with open(path, "w") as f:
             for k in sorted(m):
                 opt = k.endswith("?")
-                shape = ",".join(str(s) for s in m[k])
+                # "-" encodes a SCALAR tensor (e.g. bn.num_batches_tracked)
+                shape = ",".join(str(s) for s in m[k]) or "-"
                 f.write(f"{k.rstrip('?')} {shape}{' ?' if opt else ''}\n")
         print(f"{name}: {len(m)} tensors -> {path}", file=sys.stderr)
 
