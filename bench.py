@@ -435,13 +435,21 @@ def _examples_pipeline(args):
     # (flax promote_dtype), and fp32 originals of the big text towers
     # (pixart T5-XXL = 19 G fp32) would OOM a 16 G chip at first dispatch
     cast = lambda tree: jax.tree_util.tree_map(
+        # dtype read must NOT go through jnp.asarray: that device-puts a full
+        # fp32 copy of every host leaf just to inspect it
         lambda a: jnp.asarray(a, jnp.bfloat16)
-        if hasattr(a, "dtype") and jnp.asarray(a).dtype == jnp.float32
+        if hasattr(a, "dtype") and a.dtype == jnp.float32
         else a,
         tree,
     )
-    pipe.base_params = cast(pipe.base_params)
+    # params/base_params start as the SAME tree (pipelines.py); casting them
+    # independently materialized the denoiser twice on device (2x5.2G for
+    # SDXL) and OOMed the 16G chip before the first e2e dispatch
+    shared = pipe.params is pipe.base_params
     pipe.params = cast(pipe.params)
+    pipe.base_params = pipe.params if shared else cast(pipe.base_params)
+    if args.decode_chunk:
+        pipe.decode_chunk = args.decode_chunk
     if pipe.vae_params is not None:
         pipe.vae_params = cast(pipe.vae_params)
     if pipe.conditioner_params is not None:
@@ -488,6 +496,7 @@ def bench_e2e(args):
                 "batch": batch,
                 "step_time_s": round(dt, 4),
                 "includes": "tokenize+text_encoders+denoise+decode",
+                "decode_chunk": args.decode_chunk or 0,
                 "backend": jax.default_backend(),
             }
         )
@@ -539,6 +548,7 @@ def bench_serving(args):
                 "batch": batch,
                 "occupancy": round(occupancy, 3),
                 "includes": "batcher+tokenize+text_encoders+denoise+decode+host_pull",
+                "decode_chunk": args.decode_chunk or 0,
                 "backend": jax.default_backend(),
             }
         )

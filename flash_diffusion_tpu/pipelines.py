@@ -71,6 +71,12 @@ class FlashPipeline:
         # Pixart resolution_ar). Applied on the str-prompt path only — a
         # dict batch is the caller's full specification.
         self.size_cond_fn: Optional[Callable[[int, int, int], Dict[str, Any]]] = None
+        # decode the batch in serial chunks of this size (None = whole
+        # batch). Whole-batch decode is fastest (BASELINE.md round-4 decode
+        # journey) but its temps peak at ~2 GB/image at 1024²; with the text
+        # towers resident (full serving stack) a 16 GB chip needs chunking
+        # at batch >= 8. Traced into the graph -> part of the jit cache key.
+        self.decode_chunk: Optional[int] = None
         self._adapters: Dict[str, Tuple[Any, float]] = {}
         self._generate_jit = {}
         self._params_sig = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), params)
@@ -200,7 +206,17 @@ class FlashPipeline:
             )
             (sample, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
             if self.vae is not None:
-                return self.vae.apply(vae_params, sample, method=self.vae.decode_latents)
+                decode = lambda s: self.vae.apply(
+                    vae_params, s, method=self.vae.decode_latents
+                )
+                dc = self.decode_chunk
+                if dc and dc < batch and batch % dc == 0:
+                    # serial chunked decode: peak decode temps scale with
+                    # the chunk, not the batch (lax.map serializes)
+                    chunks = sample.reshape(batch // dc, dc, *sample.shape[1:])
+                    imgs = jax.lax.map(decode, chunks)
+                    return imgs.reshape(batch, *imgs.shape[2:])
+                return decode(sample)
             return sample
 
         return jax.jit(fn)
@@ -294,11 +310,11 @@ class FlashPipeline:
                 rng, kz = jax.random.split(rng)
                 latents = jax.random.normal(kz, (batch, *lshape))
 
-        key = (num_inference_steps, guidance_scale, batch)
+        key = (num_inference_steps, guidance_scale, batch, self.decode_chunk)
         # single dict lookup + local ref: a concurrent _refresh() (LoRA
         # hot-swap from another thread) clears the cache between ops, and a
         # check-then-index would KeyError mid-dispatch
         fn = self._generate_jit.get(key)
         if fn is None:
-            fn = self._generate_jit[key] = self._build_generate(*key)
+            fn = self._generate_jit[key] = self._build_generate(*key[:3])
         return fn(self.params, self.vae_params, cond, uncond, latents, rng)

@@ -114,6 +114,35 @@ def test_dynamic_batcher_coalesces_and_is_seed_deterministic():
         batcher.stop()
 
 
+def test_decode_chunk_is_bit_identical_to_whole_batch():
+    """pipe.decode_chunk bounds VAE-decode temps (16 GB chips with the text
+    towers resident); lax.map-chunked decode must return the exact images
+    of the whole-batch path, and the jit cache must key on the setting."""
+    from flash_diffusion_tpu.models import AutoencoderKL
+    from flash_diffusion_tpu.models.vae import AutoencoderKLConfig
+
+    pipe = _tiny_pipeline()
+    vae = AutoencoderKL(
+        AutoencoderKLConfig(
+            block_out_channels=[4, 8], layers_per_block=1, norm_num_groups=2,
+            latent_channels=4, mid_block_attn=False,
+        )
+    )
+    pipe.vae = vae
+    pipe.vae_params = vae.init(jax.random.PRNGKey(2), jnp.zeros((1, 16, 16, 3)))
+    pipe.vae_scale_factor = 2
+
+    prompts = [f"p{i}" for i in range(4)]
+    seeds = list(range(4))
+    whole = pipe.generate(prompts, num_inference_steps=2, seed=seeds)
+    pipe.decode_chunk = 2
+    chunked = pipe.generate(prompts, num_inference_steps=2, seed=seeds)
+    assert whole.shape == chunked.shape
+    np.testing.assert_array_equal(np.array(whole), np.array(chunked))
+    # distinct cache entries: changing decode_chunk may not reuse the old graph
+    assert len(pipe._generate_jit) == 2
+
+
 def test_take_batch_defers_mismatches_to_front():
     """A (steps, guidance)-mismatched request pulled during lingering must
     lead the NEXT batch, not requeue behind later traffic (starvation)."""
