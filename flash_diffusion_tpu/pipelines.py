@@ -79,6 +79,7 @@ class FlashPipeline:
         self.decode_chunk: Optional[int] = None
         self._adapters: Dict[str, Tuple[Any, float]] = {}
         self._generate_jit = {}
+        self._cond_jit = None
         self._params_sig = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), params)
         self._quant_mode: Optional[str] = None
         self._quant_min_dim = 256
@@ -158,6 +159,31 @@ class FlashPipeline:
         self._refresh()
 
     # -- generation -----------------------------------------------------
+    def _embed(self, batch_inputs, ucg_keys=None, set_ucg_rate_zero=False):
+        """Jitted conditioner pass. Eager flax ``apply`` dispatches every op
+        separately — for the dual-CLIP(+T5) stacks that is hundreds of tiny
+        device round-trips per request; one jit makes text encoding a single
+        dispatch. Non-array keys (raw prompt strings) never feed embedder
+        compute and are filtered out before tracing."""
+        arrays = {
+            k: v for k, v in batch_inputs.items() if hasattr(v, "shape")
+        }
+        if self._cond_jit is None:
+
+            def f(params, arrays, ucg_keys, set_zero):
+                return self.conditioner(
+                    params, dict(arrays),
+                    ucg_keys=list(ucg_keys) if ucg_keys else None,
+                    set_ucg_rate_zero=set_zero,
+                )
+
+            self._cond_jit = jax.jit(f, static_argnames=("ucg_keys", "set_zero"))
+        return self._cond_jit(
+            self.conditioner_params, arrays,
+            ucg_keys=tuple(ucg_keys) if ucg_keys else (),
+            set_zero=set_ucg_rate_zero,
+        )
+
     def _build_generate(self, num_steps: int, guidance_scale: float, batch: int):
         sched = self.sched_mod.set_timesteps(self.sched_config, num_steps)
         do_cfg = guidance_scale not in (0.0, 1.0)
@@ -275,9 +301,7 @@ class FlashPipeline:
 
         cond = uncond = None
         if self.conditioner is not None:
-            cond = self.conditioner(
-                self.conditioner_params, batch_inputs, set_ucg_rate_zero=True
-            )
+            cond = self._embed(batch_inputs, set_ucg_rate_zero=True)
             if guidance_scale not in (0.0, 1.0):
                 if negative_prompts is not None:
                     neg = dict(self.tokenizer_fn(list(negative_prompts)))
@@ -287,12 +311,10 @@ class FlashPipeline:
                         h_px = height or self.latent_shape[0] * self.vae_scale_factor
                         w_px = width or self.latent_shape[1] * self.vae_scale_factor
                         neg.update(self.size_cond_fn(len(negative_prompts), h_px, w_px))
-                    uncond = self.conditioner(
-                        self.conditioner_params, neg, set_ucg_rate_zero=True
-                    )
+                    uncond = self._embed(neg, set_ucg_rate_zero=True)
                 else:
-                    uncond = self.conditioner(
-                        self.conditioner_params, batch_inputs,
+                    uncond = self._embed(
+                        batch_inputs,
                         ucg_keys=[c.input_key for c in self.conditioner.conditioners],
                     )
 

@@ -346,8 +346,8 @@ def test_prewarm_compiles_all_batch_sizes():
     server.prewarm()
     # both compile-shape graphs are cached for the default key
     keys = set(pipe._generate_jit)
-    assert (cfg.default_steps, cfg.default_guidance, 1) in keys
-    assert (cfg.default_steps, cfg.default_guidance, 2) in keys
+    assert (cfg.default_steps, cfg.default_guidance, 1, None) in keys
+    assert (cfg.default_steps, cfg.default_guidance, 2, None) in keys
 
 
 def test_metrics_batch_occupancy_and_profile(tmp_path):
