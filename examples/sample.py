@@ -365,12 +365,19 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="sample.png")
     ap.add_argument("--random-init", action="store_true")
+    ap.add_argument(
+        "--decode-chunk", type=int, default=0,
+        help="serial VAE-decode chunk size (0 = whole batch); bounds decode "
+        "memory on 16 GB chips at large batch x 1024px",
+    )
     args = ap.parse_args()
 
     pipe = build_pipeline(
         args.model, args.weights_root, args.random_init,
         lora=args.lora, lora_scale=args.lora_scale, seed=args.seed,
     )
+    if args.decode_chunk:
+        pipe.decode_chunk = args.decode_chunk
     images = pipe.generate(
         args.prompt,
         num_inference_steps=args.steps,

@@ -62,6 +62,13 @@ def main():
         "SDXL-size compiles (jax persistent cache keyed on HLO+flags)",
     )
     ap.add_argument(
+        "--decode-chunk", type=int, default=0, metavar="K",
+        help="decode the batch in serial chunks of K images (0 = whole "
+        "batch, fastest). Bounds VAE-decode temps: on 16 GB chips the "
+        "full SDXL serving stack (text towers resident) needs K=4 at "
+        "max-batch 8 / 1024px.",
+    )
+    ap.add_argument(
         "--tp", type=int, default=1, metavar="N",
         help="tensor-parallel degree: shard the denoiser's attention/MLP "
         "kernels over N chips of a ('data','model') mesh (Megatron "
@@ -82,6 +89,8 @@ def main():
     )
     if args.int8:
         pipe.quantize("int8")
+    if args.decode_chunk:
+        pipe.decode_chunk = args.decode_chunk
     if args.tp > 1:
         import jax
 
