@@ -165,9 +165,16 @@ class FlashPipeline:
         device round-trips per request; one jit makes text encoding a single
         dispatch. Non-array keys (raw prompt strings) never feed embedder
         compute and are filtered out before tracing."""
-        arrays = {
-            k: v for k, v in batch_inputs.items() if hasattr(v, "shape")
-        }
+        def jittable(v):
+            # keep arrays and numeric lists/scalars (valid jit args); drop
+            # anything carrying strings (raw prompts feed the tokenizer,
+            # never embedder compute)
+            return all(
+                not isinstance(leaf, (str, bytes))
+                for leaf in jax.tree_util.tree_leaves(v)
+            )
+
+        arrays = {k: v for k, v in batch_inputs.items() if jittable(v)}
         if self._cond_jit is None:
 
             def f(params, arrays, ucg_keys, set_zero):
