@@ -90,9 +90,23 @@ def test_oneshot_bwd_gate_bounds_whole_footprint():
 
 
 def test_stream_fwd_vmem_guard_keeps_tuned_and_rejects_overflow():
-    """Streaming-forward block guard: the tuned (512,4096) default fits at
-    D=64 AND D=128; (1024,4096) (measured Mosaic overflow at D=64) does not."""
+    """Streaming-forward block guard under the double-buffered cost model
+    (r4: Mosaic pipelines q/k/v/out blocks ×2 — the single-buffer model let
+    the b8 VAE mid-attention compile OOM): the tuned (512,4096) default
+    still fits at D=64; at D=128 it now correctly exceeds budget and the
+    shrink loop must land on a fitting KV block; (1024,4096) (measured
+    Mosaic overflow at D=64) is rejected."""
     B = A._STREAM_FWD_VMEM_BUDGET
     assert A._stream_fwd_vmem(512, 4096, 64, 2) <= B
-    assert A._stream_fwd_vmem(512, 4096, 128, 2) <= B
     assert A._stream_fwd_vmem(1024, 4096, 64, 2) > B
+    # D=128: the tuned default overflows under double-buffering...
+    assert A._stream_fwd_vmem(512, 4096, 128, 2) > B
+    # ...and the guard's halving schedule (kv first, then q) recovers a
+    # block pair that fits without degenerating below the floor sizes.
+    bq, bkv = 512, 4096
+    while A._stream_fwd_vmem(bq, bkv, 128, 2) > B and bkv > 512:
+        bkv //= 2
+    while A._stream_fwd_vmem(bq, bkv, 128, 2) > B and bq > 128:
+        bq //= 2
+    assert A._stream_fwd_vmem(bq, bkv, 128, 2) <= B
+    assert (bq, bkv) == (512, 2048)
