@@ -54,6 +54,12 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _is_pow2(scale: float) -> bool:
+    """True when |scale| is an exact power of two (bf16-lossless to fold)."""
+    s = float(scale)
+    return s != 0.0 and math.frexp(abs(s))[0] == 0.5
+
+
 # --------------------------------------------------------------------------
 # Forward kernel
 # --------------------------------------------------------------------------
@@ -80,15 +86,22 @@ def _flash_fwd_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    # bf16 operands on the MXU, fp32 accumulation; scale applied to the
-    # fp32 product (cheaper AND more accurate than scaling bf16 q).
+    # bf16 operands on the MXU, fp32 accumulation. When scale is an exact
+    # power of two (every d = 4ᵏ head: 1/√64 = 0.125, …) it folds into the
+    # bf16 q block LOSSLESSLY on the tiny (bq, d) tile, saving a full-tile
+    # fp32 multiply over (bq, bkv) per grid step; otherwise it is applied
+    # to the fp32 product (more accurate than rounding bf16 q).
+    q = q_ref[0]
+    if _is_pow2(scale):
+        q = q * jnp.asarray(scale, q.dtype)
     s = jax.lax.dot_general(
-        q_ref[0],
+        q,
         k_ref[0],
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bq, bkv)
-    s = s * scale
+    if not _is_pow2(scale):
+        s = s * scale
 
     # mask out-of-range kv positions (ragged tail of padded kv)
     if kv_len % block_kv != 0:
@@ -136,25 +149,32 @@ def _flash_fwd_kernel(
 def _flash_fwd_oneshot_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, kv_len: int, block_kv: int
 ):
+    q = q_ref[0]
+    if _is_pow2(scale):
+        q = q * jnp.asarray(scale, q.dtype)
     s = jax.lax.dot_general(
-        q_ref[0],
+        q,
         k_ref[0],
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
+    if not _is_pow2(scale):
+        s = s * scale
     if kv_len % block_kv != 0:
         gkv = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(gkv < kv_len, s, _NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
+    # PV first, divide after: 1/l touches the (bq, d) output tile instead of
+    # a full-tile (bq, bkv) fp32 divide on the VPU.
     o = jax.lax.dot_general(
-        (p / l).astype(v_ref.dtype),
+        p.astype(v_ref.dtype),
         v_ref[0],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
     lse_ref[0, 0] = (m[:, 0] + jnp.log(l[:, 0])).astype(jnp.float32)
 
 
@@ -281,12 +301,12 @@ def _flash_fwd_oneshot_packed_kernel(
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(
-            (p / l).astype(v.dtype),
+            p.astype(v.dtype),
             v[:, sl],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
 
 
 # Conservative scoped-VMEM budget for the packed block search (the real

@@ -38,6 +38,7 @@ _DISABLE_PALLAS = os.environ.get("FLASH_TPU_DISABLE_PALLAS", "0") == "1"
 
 
 def _gn_stats_kernel(x_ref, sum_ref, sumsq_ref, acc_ref):
+    b_ = pl.program_id(0)
     i = pl.program_id(1)
     n = pl.num_programs(1)
 
@@ -53,20 +54,29 @@ def _gn_stats_kernel(x_ref, sum_ref, sumsq_ref, acc_ref):
     acc_ref[0] += jnp.sum(part, axis=0)
     acc_ref[1] += jnp.sum(part * part, axis=0)
 
+    # outputs are whole [B, C] blocks held in VMEM across the grid (a [1, C]
+    # row block would violate Mosaic's sublane-divisibility rule at B > 1);
+    # each batch segment writes its own row when its partial sums complete
     @pl.when(i == n - 1)
     def _finish():
-        sum_ref[0] = jnp.sum(acc_ref[0], axis=0, keepdims=True)[0]
-        sumsq_ref[0] = jnp.sum(acc_ref[1], axis=0, keepdims=True)[0]
+        sum_ref[b_] = jnp.sum(acc_ref[0], axis=0)
+        sumsq_ref[b_] = jnp.sum(acc_ref[1], axis=0)
+
+
+def _gn_stats_rows(n: int, c: int, itemsize: int) -> Optional[int]:
+    """Row-block size for the stats kernel (multiple of 8 dividing n, ≤2 MB)."""
+    rows = 256
+    while rows > 8 and (n % rows != 0 or rows * c * itemsize > 2_097_152):
+        rows //= 2
+    return rows if n % rows == 0 else None
 
 
 def _gn_stats_pallas(x2: jnp.ndarray, b: int):
     """Per-channel (Σx, Σx²) for each of b segments of the [B·N, C] view."""
     bn, c = x2.shape
     n = bn // b
-    rows = 256
-    while rows > 8 and (n % rows != 0 or rows * c * x2.dtype.itemsize > 2_097_152):
-        rows //= 2
-    if n % rows != 0:
+    rows = _gn_stats_rows(n, c, x2.dtype.itemsize)
+    if rows is None:
         return None
     x3 = x2.reshape(b, n, c)
     s, ss = pl.pallas_call(
@@ -76,8 +86,8 @@ def _gn_stats_pallas(x2: jnp.ndarray, b: int):
             pl.BlockSpec((1, rows, c), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=[
-            pl.BlockSpec((1, c), lambda b_, i: (b_, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b_, i: (b_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, c), jnp.float32),
@@ -96,8 +106,6 @@ def _gn_eligible(x: jnp.ndarray, num_groups: int) -> bool:
     # an extra full HBM read of x AND breaks XLA's normalize-into-conv
     # producer fusion, which outweighs the 72 GB/s stats reduce it fixed.
     # Kept (with interpret-mode numerics/VJP tests) as a building block.
-    if os.environ.get("FLASH_TPU_GN_PALLAS", "0") != "1":
-        return False
     if _DISABLE_PALLAS:
         return False
     if not _INTERPRET and jax.default_backend() in ("cpu",):
@@ -108,6 +116,19 @@ def _gn_eligible(x: jnp.ndarray, num_groups: int) -> bool:
     n = 1
     for s in x.shape[1:-1]:
         n *= s
+    if os.environ.get("FLASH_TPU_GN_PALLAS_BATCH", "0") == "1":
+        # r4 denoiser experiment: at batch 8 XLA emits the ResBlock
+        # (temb-add + Σx/Σx² + activation write) as ONE multi-output fusion
+        # running at ~34 GB/s (~46 ms of a 439 ms SDXL fwd); the standalone
+        # Pallas stats read runs at roofline instead.
+        if (
+            c % 64 == 0
+            and n >= 1024
+            and _gn_stats_rows(n, c, x.dtype.itemsize) is not None
+        ):
+            return True
+    if os.environ.get("FLASH_TPU_GN_PALLAS", "0") != "1":
+        return False
     # only worth dispatching where the XLA reduce is starved: batch 1 (the
     # scanned VAE decode) with a large spatial extent
     return x.shape[0] == 1 and c % 128 == 0 and n >= 4096 and n % 8 == 0
@@ -200,6 +221,25 @@ def group_norm(
     c = x.shape[-1]
     spatial = x.shape[1:-1]
     g = num_groups
+    if os.environ.get("FLASH_TPU_GN_GROUPED_VIEW", "0") != "1":
+        # Channel-last statistics (r4): the (g, c/g) view below puts c/g
+        # lanes in the minor dim — 10 lanes for SDXL's 320ch/32g, a 12.8×
+        # pad-waste layout that the r4 trace showed running at ~44 GB/s in
+        # BOTH the stats fusions (46 ms of a 439 ms fwd) and any normalize
+        # fusion forced to materialize in that view. Reducing the [B, N, C]
+        # view over N keeps C on the lanes; the group fold happens on the
+        # tiny [B, C] vector and folds into per-channel ŵ/b̂ so the
+        # normalize pass is a lane-aligned mul-add that fuses into the
+        # consumer conv.
+        x3 = x.reshape(b, -1, c)
+        n = x3.shape[1] * (c // g)
+        s = jnp.sum(x3, axis=1, dtype=jnp.float32)
+        ss = jnp.sum(x3.astype(jnp.float32) * x3, axis=1, dtype=jnp.float32)
+        w, b_, _, _ = _gn_fold_stats(s, ss, scale, bias, b, c, g, n, eps, orig_dtype)
+        out = x3 * w[:, None, :] + b_[:, None, :]
+        if act == "silu":
+            out = out * jax.nn.sigmoid(out)
+        return out.reshape(b, *spatial, c).astype(orig_dtype)
     xg = x.reshape(b, -1, g, c // g)
     # fp32-accumulated statistics WITHOUT materializing an fp32 copy of the
     # activation (the copy doubles HBM traffic on the 1024² VAE decode path);
@@ -220,9 +260,19 @@ def group_norm(
             jnp.sum(s2, axis=1).reshape(b, g, c // g).sum(-1, keepdims=True) / n
         ).reshape(b, 1, g, 1)
     else:
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+        # FLASH_TPU_GN_BARRIER=1 (r4 denoiser experiment): keep the stats
+        # reduce OUT of the producer's multi-output fusion — XLA's combined
+        # (temb-add + write + Σx/Σx²) fusion schedules at ~34 GB/s, while a
+        # standalone reduce of the already-materialized activation streams
+        # at roofline. The barrier is identity; the producer writes x anyway.
+        xs = (
+            jax.lax.optimization_barrier(xg)
+            if os.environ.get("FLASH_TPU_GN_BARRIER", "0") == "1"
+            else xg
+        )
+        mean = jnp.mean(xs, axis=(1, 3), keepdims=True, dtype=jnp.float32)
         mean_sq = jnp.mean(
-            xg.astype(jnp.float32) * xg, axis=(1, 3), keepdims=True, dtype=jnp.float32
+            xs.astype(jnp.float32) * xs, axis=(1, 3), keepdims=True, dtype=jnp.float32
         )
     var = jnp.maximum(mean_sq - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
