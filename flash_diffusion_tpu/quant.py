@@ -66,11 +66,28 @@ def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.nd
     """W8A8 matmul: dynamic per-token activation quant, int32 accumulate.
 
     x: [..., K] float; wq: [K, N] int8; w_scale: [N] f32. Returns x.dtype.
+
+    Dispatches the fused-dequant Pallas kernel (ops/gemm.py::int8_gemm —
+    scales applied in-register on the output tile) when the shape fits;
+    the XLA fallback lowers the per-channel dequant as separate passes,
+    which is what erased the MXU's int8 2× in the r3/r4 measurements.
     """
+    from .ops.gemm import int8_gemm, int8_gemm_eligible
+
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     s_x = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    k = x.shape[-1]
+    n = wq.shape[1]
+    m = 1
+    for s in x.shape[:-1]:
+        m *= s
+    if int8_gemm_eligible(m, k, n):
+        y = int8_gemm(
+            xq.reshape(m, k), s_x.reshape(m, 1), wq, w_scale.reshape(1, n), None
+        )
+        return y.reshape(*x.shape[:-1], n).astype(x.dtype)
     y = jax.lax.dot_general(
         xq,
         wq,

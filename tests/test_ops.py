@@ -284,3 +284,142 @@ def test_layer_norm_and_modulate():
     scale = jnp.full((2, 6), 0.5)
     m = modulate(x, shift, scale)
     assert np.allclose(np.array(m), np.array(x) * 1.5 + 1.0, atol=1e-6)
+
+
+def test_fit_block_minimizes_kv_padding():
+    """SD3's joint 4250-token sequence must not round up to 8192 (the r5
+    trace showed that padding costing 2.09× the logical attention work —
+    61% of the MMDiT forward)."""
+    from flash_diffusion_tpu.ops.attention import _fit_block
+
+    assert _fit_block(4250, 4096) == 2176      # 2 × 2176 = 4352, not 8192
+    assert _fit_block(4096, 4096) == 4096      # exact fit unchanged
+    assert _fit_block(1024, 4096) == 1024      # short seq: one block
+    assert _fit_block(4736, 1024) == 1024      # 37·128: 5 × 1024 = 5120
+    for seq, mx in ((4250, 4096), (4736, 1024), (999, 512), (8192, 4096)):
+        blk = _fit_block(seq, mx)
+        assert blk % 128 == 0 and blk <= max(mx, 128)
+        padded = -(-seq // blk) * blk
+        assert padded < seq + blk  # no more than one block of waste
+
+
+def test_flash_attention_sd3_joint_shape_fwd_bwd():
+    """Ragged joint-sequence shape (image+text, ≠ multiple of the tuned
+    block) through the STREAMING fwd/bwd kernels (block sizes forced below
+    the sequence length) vs the XLA reference."""
+    from flash_diffusion_tpu.ops.attention import _flash_bwd_bhsd, _flash_fwd_bhsd
+
+    bh, s, d = 2, 531, 32  # 531 rounds to 640; fit(531, 256) = 256
+    key = jax.random.PRNGKey(7)
+    q, k, v = (
+        jax.random.normal(kk, (bh, s, d), jnp.float32)
+        for kk in jax.random.split(key, 3)
+    )
+    scale = d ** -0.5
+    out, lse = _flash_fwd_bhsd(q, k, v, scale, block_q=256, block_kv=256)
+
+    def ref_fn(q, k, v):
+        s_ = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        return jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(s_, -1), v)
+
+    ref = ref_fn(q, k, v)
+    assert np.allclose(np.array(out), np.array(ref), atol=2e-2)
+
+    do = jax.random.normal(jax.random.PRNGKey(8), (bh, s, d), jnp.float32)
+    dq, dk, dv = _flash_bwd_bhsd(q, k, v, out, lse, do, scale, block_q=256, block_kv=256)
+    _, vjp = jax.vjp(ref_fn, q, k, v)
+    for got, want in zip((dq, dk, dv), vjp(do)):
+        assert np.allclose(np.array(got), np.array(want), atol=5e-2)
+
+
+def test_geglu_down_proj_fused_matches_reference():
+    """Fused gelu-gate + down-proj GEMM (interpret mode): fwd and grads vs
+    the unfused ops, bf16 (the only dispatching dtype)."""
+    from flash_diffusion_tpu.ops import gemm
+
+    m, k, n = 1024, 2048, 128
+    x2k = jax.random.normal(jax.random.PRNGKey(0), (2, m // 2, 2 * k), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.bfloat16) * 0.02
+    b = jax.random.normal(jax.random.PRNGKey(2), (n,), jnp.bfloat16) * 0.1
+
+    y = gemm.geglu_down_proj(x2k, w, b)
+    ref = gemm._geglu_h(x2k) @ w + b
+    assert y.dtype == jnp.bfloat16
+    assert np.allclose(np.float32(y), np.float32(ref), atol=5e-2)
+
+    lp = lambda *a: jnp.sum(jnp.sin(gemm.geglu_down_proj(*a).astype(jnp.float32)))
+    lr = lambda x2k, w, b: jnp.sum(jnp.sin((gemm._geglu_h(x2k) @ w + b).astype(jnp.float32)))
+    gp = jax.grad(lp, argnums=(0, 1, 2))(x2k, w, b)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(x2k, w, b)
+    for a, r in zip(gp, gr):
+        d = np.abs(np.float32(a) - np.float32(r))
+        assert d.max() <= 0.1 + 0.05 * np.abs(np.float32(r)).max(), d.max()
+
+
+def test_geglu_feedforward_fused_gate_matches_unfused(monkeypatch):
+    """GEGLUFeedForward with FLASH_TPU_FFN_FUSED=1 == the default path,
+    param tree identical, including a live LoRA side path on proj_out."""
+    from flash_diffusion_tpu.models.layers import GEGLUFeedForward
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 512, 128), jnp.bfloat16)
+    ff = GEGLUFeedForward(dtype=jnp.bfloat16)
+    monkeypatch.delenv("FLASH_TPU_FFN_FUSED", raising=False)
+    params = ff.init(jax.random.PRNGKey(1), x)
+    ref = ff.apply(params, x)
+
+    monkeypatch.setenv("FLASH_TPU_FFN_FUSED", "1")
+    params_fused = ff.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(params_fused) == jax.tree_util.tree_structure(params)
+    y = ff.apply(params, x)
+    assert np.allclose(np.float32(y), np.float32(ref), atol=3e-2)
+
+    # LoRA side path on proj_out still applies under the fused gate
+    from flax import traverse_util
+    from flash_diffusion_tpu.lora import init_lora, lora_collection
+
+    lora = init_lora(params["params"], rank=4, rng=jax.random.PRNGKey(2))
+    flat = traverse_util.flatten_dict(lora, sep="/")
+    assert any("proj_out" in k for k in flat)
+    # b factors are zero-init (merged model == base); randomize to make the
+    # side path visible in the output
+    flat = {
+        k: (jax.random.normal(jax.random.PRNGKey(9), v.shape, v.dtype) * 0.1
+            if k.endswith("/b") else v)
+        for k, v in flat.items()
+    }
+    lora = traverse_util.unflatten_dict(flat, sep="/")
+    vars_ = {"params": params["params"], "lora": lora_collection(lora)}
+    y_lora = ff.apply(vars_, x)
+    monkeypatch.delenv("FLASH_TPU_FFN_FUSED")
+    ref_lora = ff.apply(vars_, x)
+    assert np.allclose(np.float32(y_lora), np.float32(ref_lora), atol=3e-2)
+    assert not np.allclose(np.float32(y_lora), np.float32(ref), atol=1e-3)
+
+
+def test_int8_gemm_fused_dequant_matches_xla():
+    """Fused-dequant int8 GEMM (interpret mode) vs the XLA separate-pass
+    lowering, including a ragged (non-block-multiple) M."""
+    from flash_diffusion_tpu.ops import gemm
+
+    m, k, n = 777, 512, 256
+    xq = jax.random.randint(jax.random.PRNGKey(0), (m, k), -127, 128, jnp.int8)
+    wq = jax.random.randint(jax.random.PRNGKey(1), (k, n), -127, 128, jnp.int8)
+    sx = jax.random.uniform(jax.random.PRNGKey(2), (m, 1), jnp.float32, 0.001, 0.02)
+    sw = jax.random.uniform(jax.random.PRNGKey(3), (1, n), jnp.float32, 0.001, 0.02)
+    assert gemm.int8_gemm_eligible(m, k, n)
+    y = gemm.int8_gemm(xq, sx, wq, sw, None)
+    ref = (
+        jax.lax.dot_general(
+            xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        * sx
+        * sw
+    )
+    rel = np.abs(np.float32(y) - np.array(ref)) / (np.abs(np.array(ref)).max() + 1e-9)
+    assert rel.max() < 5e-3, rel.max()
+
+    # gelu epilogue variant
+    yg = gemm.int8_gemm(xq, sx, wq, sw, None, act="gelu")
+    refg = jax.nn.gelu(ref, approximate=True)
+    relg = np.abs(np.float32(yg) - np.array(refg)) / (np.abs(np.array(refg)).max() + 1e-9)
+    assert relg.max() < 5e-3, relg.max()
