@@ -89,13 +89,29 @@ def init_params_shape_only(module, *args, rng=None, **kwargs):
 
 
 def maybe_import(path: Optional[str], importer, config, random_init: bool, init_fn):
-    """Import HF weights when available; otherwise random/zero init."""
+    """Import HF weights when available; otherwise random/zero init.
+
+    Accepts either a single ``model.safetensors`` or a sharded checkpoint
+    (``model.safetensors.index.json`` + ``model-XXXXX-of-YYYYY.safetensors``
+    in the same directory — how T5-XXL towers ship on the hub)."""
+    from flash_diffusion_tpu.utils.hf import load_torch_state_dict
+
+    if not random_init and path is not None and not os.path.exists(path):
+        index = path + ".index.json"
+        if os.path.exists(index):
+            import json
+
+            with open(index) as f:
+                weight_map = json.load(f)["weight_map"]
+            sd = {}
+            base = os.path.dirname(path)
+            for shard in sorted(set(weight_map.values())):
+                sd.update(load_torch_state_dict(os.path.join(base, shard)))
+            return importer(sd, config)
     if random_init or path is None or not os.path.exists(path):
         if not random_init:
             logging.warning("weights not found at %s — using random init", path)
         return init_fn()
-    from flash_diffusion_tpu.utils.hf import load_torch_state_dict
-
     sd = load_torch_state_dict(path)
     return importer(sd, config)
 

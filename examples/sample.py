@@ -63,9 +63,9 @@ def _clip_tokenizer(root, max_length=77, key="text_ids"):
     return tokenizer_fn
 
 
-def _t5_tokenizer(root, max_length=120):
+def _t5_tokenizer(root, max_length=120, subdir="tokenizer"):
     try:
-        tok_dir = os.path.join(root, "tokenizer")
+        tok_dir = os.path.join(root, subdir)
         if not os.path.isdir(tok_dir):
             raise FileNotFoundError(tok_dir)
         from transformers import T5TokenizerFast
@@ -238,13 +238,26 @@ def _build_pixart(root, random_init, rng):
     )
 
 
-def _build_sd3(root, random_init, rng):
-    """SD3-medium: MMDiT + dual-CLIP SD3 conditioner (text_encoder_3=None
-    serving mode — the zero-T5-stream semantics diffusers uses; T5-XXL
-    stays off the serving footprint) + flow-match flash sampler."""
+def _build_sd3(root, random_init, rng, use_t5=False, t5_max_length=256):
+    """SD3-medium: MMDiT + SD3 conditioner + flow-match flash sampler.
+
+    Default serving mode is dual-CLIP (diffusers' ``text_encoder_3=None``
+    zero-T5-stream semantics; T5-XXL stays off the serving footprint).
+    ``use_t5=True`` is the REFERENCE-FIDELITY configuration: the full
+    triple-encoder stack (reference conditions SD3 on all three towers via
+    ``StableDiffusion3Pipeline.encode_prompt``, reference
+    src/flash/models/flash_sd3/flash_diffusion_model.py:195-233) with the
+    T5-XXL token stream real. T5-XXL adds ~9.4 GB bf16 — single-chip 16 GB
+    serving then needs ``--decode-chunk``/small batches, or ``--tp 2``
+    (shard_tp now TP-shards the text towers too, halving the per-chip
+    footprint). diffusers' default ``max_sequence_length`` is 256."""
     from flash_diffusion_tpu.models import MMDiT, sd3_medium_config, sd3_vae_config
-    from flash_diffusion_tpu.models.embedders import SD3Conditioner
-    from flash_diffusion_tpu.utils.hf import import_sd3_mmdit
+    from flash_diffusion_tpu.models.embedders import (
+        SD3Conditioner,
+        T5AsSD3Embedder,
+        T5TextEmbedderConfig,
+    )
+    from flash_diffusion_tpu.utils.hf import import_sd3_mmdit, import_t5_encoder
 
     mmdit_cfg = sd3_medium_config()
     mmdit = MMDiT(mmdit_cfg, dtype=jnp.bfloat16)
@@ -267,11 +280,20 @@ def _build_sd3(root, random_init, rng):
             layer="hidden", layer_idx=-2, always_return_pooled=True, use_projection=True,
         )
     )
-    conditioner = SD3Conditioner([clip_l, clip_g], t5_dim=4096)
+    t5 = None
+    if use_t5:
+        t5 = T5AsSD3Embedder(
+            T5TextEmbedderConfig(input_key="t5_text", max_length=t5_max_length)
+        )
+        conditioner = SD3Conditioner([clip_l, clip_g, t5], t5_dim=4096)
+        ctx_len = 77 + t5_max_length
+    else:
+        conditioner = SD3Conditioner([clip_l, clip_g], t5_dim=4096)
+        ctx_len = 154
     lat = 128
     dummy_cond = {
         "cond": {
-            "crossattn": jnp.zeros((1, 154, 4096)),
+            "crossattn": jnp.zeros((1, ctx_len, 4096)),
             "vector": jnp.zeros((1, 2048)),
         }
     }
@@ -298,11 +320,32 @@ def _build_sd3(root, random_init, rng):
             ("text_encoder_2/model.safetensors", clip_g),
         ]
     ]
+    tokenizer_fn = _clip_tokenizer(root)
+    if use_t5:
+        cparams.append(
+            maybe_import(
+                os.path.join(root, "text_encoder_3/model.safetensors"),
+                import_t5_encoder, t5.encoder_config, random_init,
+                lambda: init_params_shape_only(
+                    t5, {"t5_text_ids": jnp.zeros((1, t5_max_length), jnp.int32)}
+                ),
+            )
+        )
+        clip_tok = tokenizer_fn
+        t5_tok = _t5_tokenizer(root, t5_max_length, subdir="tokenizer_3")
+
+        def tokenizer_fn(texts):
+            out = dict(clip_tok(texts))
+            t5_out = t5_tok(texts)
+            out["t5_text_ids"] = t5_out["text_ids"]
+            out["t5_text_mask"] = t5_out["text_mask"]
+            return out
+
     return dict(
         denoiser=mmdit, denoiser_params=mmdit_params,
         conditioner=conditioner, conditioner_params=cparams,
         vae=vae, vae_params=vae_params,
-        tokenizer_fn=_clip_tokenizer(root),
+        tokenizer_fn=tokenizer_fn,
         latent_shape=(lat, lat, 16),
         scheduler="FlashFlowMatchEulerDiscreteScheduler",
         scheduler_config=SchedulerConfig(shift=3.0),
@@ -318,9 +361,12 @@ def build_pipeline(
     lora: str | None = None,
     lora_scale: float = 1.0,
     seed: int = 0,
+    sd3_t5: bool = False,
+    sd3_t5_max_length: int = 256,
 ):
     """Build a FlashPipeline for any showcased family (sd15 / sdxl /
-    pixart / sd3) — shared by sample.py / serve.py."""
+    pixart / sd3) — shared by sample.py / serve.py. ``sd3_t5=True``
+    serves SD3 with the full triple-encoder stack (reference fidelity)."""
     root = weights_root
     rng = jax.random.PRNGKey(seed)
     if model in ("sd15", "sdxl"):
@@ -328,7 +374,9 @@ def build_pipeline(
     elif model == "pixart":
         parts = _build_pixart(root, random_init, rng)
     elif model == "sd3":
-        parts = _build_sd3(root, random_init, rng)
+        parts = _build_sd3(
+            root, random_init, rng, use_t5=sd3_t5, t5_max_length=sd3_t5_max_length
+        )
     else:
         raise ValueError(f"unknown model {model!r}")
 
@@ -370,11 +418,22 @@ def main():
         help="serial VAE-decode chunk size (0 = whole batch); bounds decode "
         "memory on 16 GB chips at large batch x 1024px",
     )
+    ap.add_argument(
+        "--t5", action="store_true",
+        help="(sd3) serve the full triple-encoder stack with a REAL T5-XXL "
+        "stream (reference conditioning fidelity) instead of the "
+        "text_encoder_3=None zero block. +9.4 GB bf16; see --t5-max-length",
+    )
+    ap.add_argument(
+        "--t5-max-length", type=int, default=256,
+        help="(sd3 --t5) T5 token length (diffusers default 256)",
+    )
     args = ap.parse_args()
 
     pipe = build_pipeline(
         args.model, args.weights_root, args.random_init,
         lora=args.lora, lora_scale=args.lora_scale, seed=args.seed,
+        sd3_t5=args.t5, sd3_t5_max_length=args.t5_max_length,
     )
     if args.decode_chunk:
         pipe.decode_chunk = args.decode_chunk

