@@ -444,7 +444,8 @@ def _examples_pipeline(args):
     from sample import build_pipeline
 
     pipe = build_pipeline(
-        args.model, args.weights_root or "", random_init=not args.weights_root
+        args.model, args.weights_root or "", random_init=not args.weights_root,
+        sd3_t5=getattr(args, "t5", False),
     )
     # bf16 storage for every frozen tree: the bodies compute in bf16 anyway
     # (flax promote_dtype), and fp32 originals of the big text towers
@@ -504,7 +505,7 @@ def bench_e2e(args):
     print(
         json.dumps(
             {
-                "metric": f"{args.model}_{res}px_{args.steps}nfe_e2e_images_per_sec_per_chip",
+                "metric": f"{args.model}{'_t5' if getattr(args, 't5', False) else ''}_{res}px_{args.steps}nfe_e2e_images_per_sec_per_chip",
                 "value": round(batch / dt, 4),
                 "unit": "images/sec/chip",
                 "vs_baseline": 1.0,
@@ -556,7 +557,7 @@ def bench_serving(args):
     print(
         json.dumps(
             {
-                "metric": f"{args.model}_{res}px_{args.steps}nfe_serving_images_per_sec",
+                "metric": f"{args.model}{'_t5' if getattr(args, 't5', False) else ''}_{res}px_{args.steps}nfe_serving_images_per_sec",
                 "value": round(total / dt, 4),
                 "unit": "images/sec/chip",
                 "vs_baseline": 1.0,
@@ -628,6 +629,12 @@ def main():
         "--serving",
         action="store_true",
         help="bench the DynamicBatcher serving stack at occupancy 1.0",
+    )
+    ap.add_argument(
+        "--t5",
+        action="store_true",
+        help="(--e2e/--serving, sd3) triple-encoder mode with a real "
+        "T5-XXL stream (reference conditioning fidelity)",
     )
     args = ap.parse_args()
     if args.input_pipeline:

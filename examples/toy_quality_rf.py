@@ -94,7 +94,7 @@ def train_teacher_rf(unet, steps: int, batch: int, lr: float, seed: int = 0):
     return params
 
 
-def build_flash_rf(unet, distill_steps: int):
+def build_flash_rf(unet, distill_steps: int, k: int = 4, gan_scale: float = 0.1):
     """Staged loss schedule, like the reference SD3 recipe
     (flash_sd3.yaml: ADVERSARIAL_LOSS_SCALE [0.0, 0.1, 0.3, 0.5] — the GAN
     term ramps IN after distill+DMD converge). A CI-scale ablation showed
@@ -106,14 +106,14 @@ def build_flash_rf(unet, distill_steps: int):
     stage0 = max(1, int(0.8 * distill_steps))
     model = FlashDiffusionSD3(
         FlashDiffusionSD3Config(
-            K=[4, 4], num_iterations_per_K=[stage0, 10**9],
+            K=[k, k], num_iterations_per_K=[stage0, 10**9],
             guidance_scale_min=1.0, guidance_scale_max=1.0,
             timestep_distribution="uniform", distill_loss_type="l2",
             use_dmd_loss=True, dmd_loss_scale=[1.0, 1.0],
             # 0.1 = the reference ramp's first non-zero value; staged CI
             # A/Bs: gan 0.3-flat 1.38, staged 0.3 0.52, no-gan 0.28 — the
             # tiny toy tolerates only gentle adversarial pressure
-            adversarial_loss_scale=[0.0, 0.1],
+            adversarial_loss_scale=[0.0, gan_scale],
         ),
         student_module=unet,
         teacher_module=unet,
@@ -195,11 +195,11 @@ def evaluate_rf(model, frozen, lora, n_eval: int, seed=0):
     }
 
 
-def run(teacher_steps, distill_steps, batch, n_eval, seed=0):
+def run(teacher_steps, distill_steps, batch, n_eval, seed=0, k=4, gan_scale=0.1):
     unet = UNet2DCondition(unet_config())
     t0 = time.time()
     teacher = train_teacher_rf(unet, teacher_steps, batch, 2e-3, seed)
-    model, disc = build_flash_rf(unet, distill_steps)
+    model, disc = build_flash_rf(unet, distill_steps, k=k, gan_scale=gan_scale)
     lora = distill_rf(model, disc, unet, teacher, distill_steps, batch, 1e-3, seed)
     frozen = {"teacher": teacher, "student_base": teacher}
     out = evaluate_rf(model, frozen, lora, n_eval, seed)
@@ -214,8 +214,16 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--n-eval", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--k", type=int, default=4, help="teacher rollout steps per stage")
+    ap.add_argument(
+        "--gan-scale", type=float, default=0.1,
+        help="stage-1 adversarial scale (0 = distill+DMD only)",
+    )
     args = ap.parse_args()
-    out, _ = run(args.teacher_steps, args.distill_steps, args.batch, args.n_eval, args.seed)
+    out, _ = run(
+        args.teacher_steps, args.distill_steps, args.batch, args.n_eval,
+        args.seed, k=args.k, gan_scale=args.gan_scale,
+    )
     for k, v in out.items():
         print(json.dumps({"metric": f"toy_quality_rf/{k}", "value": round(float(v), 4)}))
 

@@ -384,6 +384,30 @@ def _packed_eligible(q4) -> bool:
     return h >= 2 and d in (64, 128)
 
 
+# Short-KV cross-attention (text context, 77 tokens) through the PACKED
+# one-shot kernel by default: the per-head one-shot grid degenerates to
+# (B·H × q-blocks) tiny steps whose DMA/grid overhead dominates — the r3
+# trace showed S=4096 KV=77 cross at ~20× its byte cost (2.2 ms where the
+# q/out streams alone are ~0.1 ms). Packing all heads per block divides
+# the grid step count by H and deletes the q/k/v/out head transposes for
+# this call. The r3 objection to packed SELF-attention (per-head K/V VMEM
+# residency across the q loop) does not apply: the whole packed K/V block
+# at KV ≤ 256 is ≤ h·d·256·2·2 bytes ≈ 1.3 MB. Inference-primal only
+# (same rationale as _packed_eligible).
+_PACKED_CROSS_KV_MAX = int(os.environ.get("FLASH_TPU_PACKED_CROSS_KV_MAX", "256"))
+
+
+def _packed_cross_eligible(q4, kv_len: int) -> bool:
+    if os.environ.get("FLASH_TPU_ATTN_PACKED_CROSS", "1") != "1":
+        return False
+    _, _, h, d = q4.shape
+    return (
+        _round_up(kv_len, 128) <= _PACKED_CROSS_KV_MAX
+        and h >= 2
+        and d in (64, 128)
+    )
+
+
 def _flash_fwd_packed(q4, k4, v4, scale: float):
     """Forward-only flash attention in [B, Sq, H, D] without head transposes.
 
@@ -978,7 +1002,9 @@ def _from_bhsd(x, b, h):
 
 def _attn_primal(q, k, v, scale, kv_valid=None):
     """Per-shard (or single-device) Pallas forward, BSHD in/out."""
-    if kv_valid is None and _packed_eligible(q):
+    if kv_valid is None and (
+        _packed_eligible(q) or _packed_cross_eligible(q, k.shape[1])
+    ):
         out = _flash_fwd_packed(q, k, v, scale)
         if out is not None:
             return out

@@ -423,3 +423,20 @@ def test_int8_gemm_fused_dequant_matches_xla():
     refg = jax.nn.gelu(ref, approximate=True)
     relg = np.abs(np.float32(yg) - np.array(refg)) / (np.abs(np.array(refg)).max() + 1e-9)
     assert relg.max() < 5e-3, relg.max()
+
+
+def test_packed_cross_attention_default_dispatch(monkeypatch):
+    """Short-KV cross-attention dispatches the packed one-shot kernel by
+    default (inference primal) and matches the per-head path bit-for-bit at
+    fp32/interpret; the gate turns it off."""
+    from flash_diffusion_tpu.ops import attention as A
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 260, 4, 64))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 4, 64))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 77, 4, 64))
+    assert A._packed_cross_eligible(q, 77)
+    assert not A._packed_cross_eligible(q, 1024)  # self-attn shape: per-head
+    out = A._attn_primal(q, k, v, 0.125)
+    monkeypatch.setenv("FLASH_TPU_ATTN_PACKED_CROSS", "0")
+    ref = A._attn_primal(q, k, v, 0.125)
+    assert np.allclose(np.array(out), np.array(ref), atol=2e-2)
