@@ -3,6 +3,10 @@
 # e2e x4 (+sd3 --t5 operating point), serving x4. One TPU job at a time
 # (single-tenant tunnel). Each line prints one JSON record to the log.
 cd /root/repo
+# persistent compile cache: e2e and serving share generate graphs, and the
+# driver's end-of-round bench.py rides the same cache
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/flash_tpu_jax_cache}
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 L=${1:-/tmp/r5_bench_batch.log}
 {
 echo "=== headline sdxl ===";  timeout 1800 python bench.py --model sdxl
