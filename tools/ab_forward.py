@@ -54,7 +54,8 @@ def main():
         print(f"int8-quantized {n} VAE kernels", file=sys.stderr)
 
     if args.decode:
-        c = max(1, min(args.decode_chunk, args.batch))
+        # 0 = whole batch (bench.py semantics)
+        c = args.batch if args.decode_chunk <= 0 else min(args.decode_chunk, args.batch)
         while args.batch % c:
             c -= 1
 
