@@ -233,8 +233,21 @@ def group_norm(
         # consumer conv.
         x3 = x.reshape(b, -1, c)
         n = x3.shape[1] * (c // g)
-        s = jnp.sum(x3, axis=1, dtype=jnp.float32)
-        ss = jnp.sum(x3.astype(jnp.float32) * x3, axis=1, dtype=jnp.float32)
+        if os.environ.get("FLASH_TPU_GN_MATMUL_STATS", "0") == "1":
+            # r5 experiment: the r5 SDXL trace shows the [B, N, C] sum-over-N
+            # stats fusions running at 13-44 GB/s (~50 ms of a 424 ms fwd) —
+            # XLA's reduce emitter, not byte cost. 1ᵀx on the MXU reads x at
+            # roofline; x∘x rides the second dot's operand fusion.
+            ones = jnp.ones((x3.shape[1],), x3.dtype)
+            s = jnp.einsum(
+                "n,bnc->bc", ones, x3, preferred_element_type=jnp.float32
+            )
+            ss = jnp.einsum(
+                "n,bnc->bc", ones, x3 * x3, preferred_element_type=jnp.float32
+            )
+        else:
+            s = jnp.sum(x3, axis=1, dtype=jnp.float32)
+            ss = jnp.sum(x3.astype(jnp.float32) * x3, axis=1, dtype=jnp.float32)
         w, b_, _, _ = _gn_fold_stats(s, ss, scale, bias, b, c, g, n, eps, orig_dtype)
         out = x3 * w[:, None, :] + b_[:, None, :]
         if act == "silu":
