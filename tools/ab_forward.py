@@ -21,6 +21,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent compile cache (bench.py defaults the same path): repeat A/Bs of
+# unchanged graphs skip the relay's ~5-25 min compile helper
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/flash_tpu_jax_cache")
+
 
 def main():
     ap = argparse.ArgumentParser()

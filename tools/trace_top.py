@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # pure-python protobuf avoids the C++ descriptor-pool version trap
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+# persistent compile cache (same path as bench.py / ab_forward.py)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/flash_tpu_jax_cache")
 
 
 def parse_trace(trace_dir: str, top: int = 30):
