@@ -35,6 +35,9 @@ from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional
 
+import jax
+import jax.numpy as jnp
+
 import numpy as np
 
 
@@ -56,6 +59,12 @@ class ServingConfig:
     # accepting traffic — first requests hit warm executables instead of a
     # multi-minute compile cliff (XLA compile cache makes restarts cheap).
     prewarm: bool = False
+    # quantize images to uint8 ON DEVICE before the host pull (the served
+    # artifact is PNG anyway): 4× less device→host traffic — at SDXL
+    # batch 8 / 1024² the fp32 pull is ~100 MB per batch, which dominated
+    # the measured serving throughput on a tunneled test rig. False keeps
+    # the float [-1,1] images on `Request.image` (bit-exactness tests).
+    uint8_images: bool = True
 
 
 @dataclass
@@ -192,6 +201,8 @@ class DynamicBatcher:
                     height=batch[0].height,
                     width=batch[0].width,
                 )
+                if self.config.uint8_images:
+                    images = _device_uint8(images)
                 images = np.asarray(images)[:n]
                 for r, img in zip(batch, images):
                     r.image = img
@@ -205,10 +216,20 @@ class DynamicBatcher:
                     r.event.set()
 
 
+@jax.jit
+def _device_uint8(images):
+    """[-1,1] float → uint8 on device (pulled 4× smaller; PNG-equivalent
+    rounding to _to_png_bytes' host-side conversion)."""
+    x = (images.astype(jnp.float32) + 1.0) * 127.5
+    return jnp.clip(x, 0.0, 255.0).astype(jnp.uint8)
+
+
 def _to_png_bytes(image: np.ndarray) -> bytes:
     from PIL import Image
 
-    arr = np.clip((np.asarray(image, np.float32) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = np.clip((arr.astype(np.float32) + 1.0) * 127.5, 0, 255).astype(np.uint8)
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, format="PNG")
     return buf.getvalue()

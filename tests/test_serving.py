@@ -70,7 +70,7 @@ def _tiny_pipeline():
 
 def test_dynamic_batcher_coalesces_and_is_seed_deterministic():
     pipe = _tiny_pipeline()
-    cfg = ServingConfig(max_batch=4, linger_ms=100.0, batch_sizes=(1, 2, 4))
+    cfg = ServingConfig(uint8_images=False, max_batch=4, linger_ms=100.0, batch_sizes=(1, 2, 4))
     batcher = DynamicBatcher(pipe, cfg).start()
     try:
         # lone request first (compiles size-1 graph) — reference result
@@ -170,7 +170,7 @@ def test_handle_generate_empty_prompts_is_bad_request():
 
 def test_inference_server_handle_and_metrics():
     pipe = _tiny_pipeline()
-    cfg = ServingConfig(max_batch=2, linger_ms=5.0, batch_sizes=(1, 2))
+    cfg = ServingConfig(uint8_images=False, max_batch=2, linger_ms=5.0, batch_sizes=(1, 2))
     server = InferenceServer(pipe, cfg)
     server.batcher.start()
     try:
@@ -231,7 +231,7 @@ def test_per_request_resolution():
     """height/width per request: same-size requests coalesce, sizes never
     mix in a batch, each image lands at its requested latent shape."""
     pipe = _tiny_pipeline()  # latent (8, 8, 4), vae_scale 8 → 64-px align
-    cfg = ServingConfig(max_batch=4, linger_ms=100.0, batch_sizes=(1, 2, 4))
+    cfg = ServingConfig(uint8_images=False, max_batch=4, linger_ms=100.0, batch_sizes=(1, 2, 4))
     batcher = DynamicBatcher(pipe, cfg).start()
     try:
         tall = batcher.submit("cat", seed=1, steps=2, guidance=0.0, height=128, width=64)
@@ -256,7 +256,7 @@ def test_negative_prompt_with_cfg():
     """negative_prompt flows through to the CFG uncond branch (only when
     guidance enables CFG); result differs from the no-negative run."""
     pipe = _tiny_pipeline()
-    cfg = ServingConfig(max_batch=2, linger_ms=5.0, batch_sizes=(1, 2))
+    cfg = ServingConfig(uint8_images=False, max_batch=2, linger_ms=5.0, batch_sizes=(1, 2))
     batcher = DynamicBatcher(pipe, cfg).start()
     try:
         plain = batcher.submit("cat", seed=5, steps=2, guidance=3.0)
@@ -390,7 +390,7 @@ def test_tp_serving_matches_single_device():
     counts = tp_sharding_summary(pipe_tp.base_params, mesh)
     assert counts["column"] > 0 and counts["row"] > 0, counts
 
-    cfg = ServingConfig(max_batch=2, linger_ms=200.0, batch_sizes=(2,))
+    cfg = ServingConfig(uint8_images=False, max_batch=2, linger_ms=200.0, batch_sizes=(2,))
     batcher = DynamicBatcher(pipe_tp, cfg).start()
     try:
         r1 = batcher.submit("cat", seed=3, steps=2, guidance=0.0)
@@ -558,7 +558,7 @@ def test_sd3_triple_encoder_t5_stream_is_real_and_serves_tp():
     ]
     assert sharded_t5, "T5 tower kernels not TP-sharded"
 
-    cfg = ServingConfig(max_batch=2, linger_ms=200.0, batch_sizes=(2,))
+    cfg = ServingConfig(uint8_images=False, max_batch=2, linger_ms=200.0, batch_sizes=(2,))
     batcher = DynamicBatcher(pipe_tp, cfg).start()
     try:
         r1 = batcher.submit("cat", seed=7, steps=2, guidance=0.0)
@@ -568,3 +568,31 @@ def test_sd3_triple_encoder_t5_stream_is_real_and_serves_tp():
     finally:
         batcher.stop()
     assert np.allclose(np.asarray(r1.image), img_a[0], atol=1e-4)
+
+
+def test_uint8_image_transfer_default():
+    """Default serving config pulls uint8 images from the device (4x less
+    device->host traffic); values match the PNG conversion of the float
+    path exactly."""
+    pipe = _tiny_pipeline()
+    ref = np.asarray(
+        pipe.generate(["cat"], num_inference_steps=2, guidance_scale=0.0, seed=[3])
+    )[0]
+    cfg = ServingConfig(max_batch=1, linger_ms=5.0, batch_sizes=(1,))
+    assert cfg.uint8_images
+    batcher = DynamicBatcher(pipe, cfg).start()
+    try:
+        r = batcher.submit("cat", seed=3, steps=2, guidance=0.0)
+        assert r.event.wait(300) and r.error is None, r.error
+    finally:
+        batcher.stop()
+    assert r.image.dtype == np.uint8
+    expect = np.clip((ref.astype(np.float32) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    # device vs host rounding of the SAME affine map: off-by-one at cast
+    # boundaries is acceptable
+    assert np.abs(r.image.astype(np.int16) - expect.astype(np.int16)).max() <= 1
+
+    from flash_diffusion_tpu.serving import _to_png_bytes
+
+    png = _to_png_bytes(r.image)  # uint8 passthrough
+    assert png[:4] == b"\x89PNG"
