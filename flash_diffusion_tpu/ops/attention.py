@@ -401,11 +401,13 @@ def _packed_cross_eligible(q4, kv_len: int) -> bool:
     if os.environ.get("FLASH_TPU_ATTN_PACKED_CROSS", "1") != "1":
         return False
     _, _, h, d = q4.shape
-    return (
-        _round_up(kv_len, 128) <= _PACKED_CROSS_KV_MAX
-        and h >= 2
-        and d in (64, 128)
-    )
+    if _round_up(kv_len, 128) > _PACKED_CROSS_KV_MAX or h < 2:
+        return False
+    if os.environ.get("FLASH_TPU_ATTN_PACKED_ANY_D", "0") == "1":
+        # lane-unaligned head dims (Pixart 72, SD1.5 40/80/160) — legal
+        # static slices, relayout cost unproven; experimental gate
+        return d % 8 == 0
+    return d in (64, 128)
 
 
 def _flash_fwd_packed(q4, k4, v4, scale: float):
