@@ -65,8 +65,8 @@ def main():
         "--decode-chunk", type=int, default=0, metavar="K",
         help="decode the batch in serial chunks of K images (0 = whole "
         "batch, fastest). Bounds VAE-decode temps: on 16 GB chips the "
-        "full SDXL serving stack (text towers resident) needs K=4 at "
-        "max-batch 8 / 1024px.",
+        "full SDXL serving stack (text towers resident) needs K=2 at "
+        "max-batch 8 / 1024px (K=4 measured RESOURCE_EXHAUSTED, r5).",
     )
     ap.add_argument(
         "--tp", type=int, default=1, metavar="N",
