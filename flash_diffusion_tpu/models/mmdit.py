@@ -94,12 +94,18 @@ class JointBlock(nn.Module):
         qx, kx, vx = dense("to_q")(xn), dense("to_k")(xn), dense("to_v")(xn)
         qc, kc, vc = dense("add_q_proj")(cn), dense("add_k_proj")(cn), dense("add_v_proj")(cn)
 
-        def heads(t, s):
-            return t.reshape(b, s, h_heads, hd)
+        # concat the streams at [B, S, C] BEFORE the heads reshape: the 4-D
+        # (axis-1) concat of per-head views lowered as pad+pad+maximum
+        # fusions (~45 ms/fwd in the r5 SD3 trace); the 3-D concat is a
+        # plain contiguous copy and fuses with the downstream transpose.
+        # Numerically identical (reshape-after-concat == concat-of-reshapes).
+        def joint_heads(tx, tc):
+            t = jnp.concatenate([tx, tc], axis=1)
+            return t.reshape(b, sx + sc, h_heads, hd)
 
-        q = jnp.concatenate([heads(qx, sx), heads(qc, sc)], axis=1)
-        k = jnp.concatenate([heads(kx, sx), heads(kc, sc)], axis=1)
-        v = jnp.concatenate([heads(vx, sx), heads(vc, sc)], axis=1)
+        q = joint_heads(qx, qc)
+        k = joint_heads(kx, kc)
+        v = joint_heads(vx, vc)
         if self.qk_norm:
             # per-head RMSNorm on q/k (SD3.5-style; off for SD3-medium)
             def rms(t, name):
