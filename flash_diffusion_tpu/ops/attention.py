@@ -492,6 +492,9 @@ def _flash_fwd_oneshot_bhsd(q, k, v, scale: float, block_q: int = 512, kv_valid=
     bh, sq, d = q.shape
     kv_len = kv_valid if kv_valid is not None else k.shape[1]
     skv_p = _round_up(k.shape[1], 128)
+    # experimental override (A/B): larger q blocks cut the per-grid-step
+    # init/finish exposure (S=1024 self-attn runs 2 steps/head at 512)
+    block_q = int(os.environ.get("FLASH_TPU_ONESHOT_BLOCK_Q", block_q))
     block_q = min(block_q, _round_up(sq, 128))
     # q side: cdiv grid — boundary blocks read garbage rows (row-isolated
     # math, outputs masked on write), so no pad/slice copies are emitted
