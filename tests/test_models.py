@@ -198,3 +198,36 @@ def test_sd3_vae_shift_scaling_inverts():
     mean, _ = vae.apply(params, x, method=vae.moments)
     # encode applies (mean - shift) * scale; decode_latents inverts it
     assert np.allclose(np.array(z), (np.array(mean) - 0.0609) * 1.5305, atol=1e-5)
+
+
+def test_mmdit_joint_alignment_edge_cases():
+    """MMDiT's joint-sequence 128-alignment (r5): an already-aligned joint
+    length takes the no-padding path; an unaligned one pads the context
+    stream and masks it — both produce finite outputs of the right shape,
+    and context length must not change the image-token count."""
+    import jax
+    import jax.numpy as jnp
+    from flash_diffusion_tpu.models import MMDiT
+    from flash_diffusion_tpu.models.mmdit import MMDiTConfig
+
+    cfg = MMDiTConfig(
+        in_channels=4, out_channels=4, hidden_size=32, depth=1, num_heads=2,
+        joint_attention_dim=16, pooled_projection_dim=8,
+        pos_embed_max_size=16, sample_size=16,
+    )
+    net = MMDiT(cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
+    t = jnp.array([10.0])
+    # 8x8=64 image tokens; ctx 64 -> joint 128 (aligned, kv_valid None);
+    # ctx 90 -> joint 154 (pads to 256, kv_valid=154)
+    for ctx_len in (64, 90):
+        cond = {
+            "cond": {
+                "crossattn": jax.random.normal(jax.random.PRNGKey(1), (1, ctx_len, 16)),
+                "vector": jax.random.normal(jax.random.PRNGKey(2), (1, 8)),
+            }
+        }
+        params = net.init(jax.random.PRNGKey(3), x, t, cond)
+        y = net.apply(params, x, t, cond)
+        assert y.shape == (1, 16, 16, 4), (ctx_len, y.shape)
+        assert bool(jnp.all(jnp.isfinite(y))), ctx_len
